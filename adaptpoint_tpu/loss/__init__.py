@@ -1,0 +1,89 @@
+"""Loss registry + functional criteria.
+
+Parity: openpoints/loss/build.py:6-280 (LOSS registry, CrossEntropy,
+SmoothCrossEntropy). Criteria are pure functions of (logits, labels) returning
+scalar loss — idiomatic for jax.grad.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+from ..utils.registry import Registry
+
+LOSS = Registry("loss")
+
+__all__ = ["LOSS", "build_criterion_from_cfg", "SmoothCrossEntropy", "CrossEntropy"]
+
+
+@LOSS.register_module(name="SmoothCrossEntropy")
+class SmoothCrossEntropy:
+    """Label-smoothed CE (parity: loss/build.py:11-64 SmoothCrossEntropy).
+
+    Smoothed target: (1-eps) on the true class, eps/(n-1) elsewhere.
+    """
+
+    def __init__(self, label_smoothing: float = 0.2, ignore_index=None,
+                 num_classes=None, weight=None, **kwargs):
+        self.label_smoothing = label_smoothing
+        self.ignore_index = ignore_index
+        self.num_classes = num_classes
+        self.weight = None if weight is None else jnp.asarray(weight)
+
+    def __call__(self, logits, labels):
+        # logits (..., C) channels-last; labels (...) int
+        if logits.ndim > 2:
+            logits = logits.reshape(-1, logits.shape[-1])
+        labels = labels.reshape(-1)
+        n_class = logits.shape[-1]
+        eps = self.label_smoothing
+        valid = None
+        if self.ignore_index is not None:
+            valid = (labels != self.ignore_index).astype(logits.dtype)
+            labels = jnp.where(labels == self.ignore_index, 0, labels)
+        one_hot = jnn.one_hot(labels, n_class, dtype=logits.dtype)
+        if eps > 0:
+            target = one_hot * (1.0 - eps) + (1.0 - one_hot) * eps / (n_class - 1)
+        else:
+            target = one_hot
+        logp = jnn.log_softmax(logits, axis=-1)
+        per = -(target * logp)
+        if self.weight is not None:
+            per = per * self.weight
+        per = per.sum(axis=-1)
+        if valid is not None:
+            return (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        return per.mean()
+
+
+@LOSS.register_module(name="CrossEntropy")
+@LOSS.register_module(name="CrossEntropyLoss")
+class CrossEntropy(SmoothCrossEntropy):
+    def __init__(self, label_smoothing: float = 0.0, **kwargs):
+        super().__init__(label_smoothing=label_smoothing, **kwargs)
+
+
+@LOSS.register_module(name="BCEWithLogitsLoss")
+class BCEWithLogitsLoss:
+    def __call__(self, logits, targets):
+        t = targets.astype(logits.dtype)
+        return jnp.mean(jnp.maximum(logits, 0) - logits * t +
+                        jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+@LOSS.register_module(name="BCELoss")
+class BCELoss:
+    """Binary CE on probabilities (parity: torch.nn.BCELoss used as the GAN
+    criterion, examples/classification/train_autoaug.py:109)."""
+
+    def __call__(self, probs, targets):
+        p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+        t = targets.astype(p.dtype)
+        return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+
+
+def build_criterion_from_cfg(cfg, **default_args):
+    from ..utils.registry import build_from_cfg
+    return build_from_cfg(cfg, LOSS, default_args or None)

@@ -1,0 +1,349 @@
+"""PointNeXt encoder/decoders, TPU-native (flax linen, channels-last).
+
+Behavioral parity with the reference PointNeXt
+(openpoints/models/backbone/pointnext.py:81-497): SA blocks with FPS + ball
+query + grouped shared-MLP + max-pool + optional residual, InvResMLP depth
+blocks, FP decoders, and per-stage radius/nsample scaling (_to_full_list,
+pointnext.py:389-407). All grouped MLPs are channels-last Dense so the
+(B*M*K, C) x (C, C') contraction rides the MXU; FPS dispatches to the Pallas
+kernel on TPU.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..build import MODELS
+from ..layers.blocks import CHANNEL_MAP, ConvBlock, create_act, torch_linear_init
+from ..layers.group_layers import create_grouper, get_aggregation_features
+from ...ops import furthest_point_sample, index_points, three_interpolation
+
+
+def _pool(reduction: str):
+    reduction = "mean" if reduction.lower() == "avg" else reduction.lower()
+    if reduction == "max":
+        return lambda x: jnp.max(x, axis=2)
+    if reduction == "mean":
+        return lambda x: jnp.mean(x, axis=2)
+    if reduction == "sum":
+        return lambda x: jnp.sum(x, axis=2)
+    raise ValueError(reduction)
+
+
+class LocalAggregation(nn.Module):
+    """Grouped shared-MLP over each point's neighborhood, then pool.
+
+    (parity: pointnext.py:27-78 LocalAggregation)
+    channels: [in, ...]; channels[0] is remapped by CHANNEL_MAP[feature_type].
+    """
+
+    channels: Sequence[int]
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    group_args: Optional[dict] = None
+    conv_args: Optional[dict] = None
+    feature_type: str = "dp_fj"
+    reduction: str = "max"
+    last_act: bool = True
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        grouper = create_grouper(self.group_args or {})
+        dp, fj = grouper(p, p, f)
+        fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+        n = len(self.channels) - 1
+        x = fj
+        for i in range(n):
+            act = None if (i == n - 1 and not self.last_act) else self.act_args
+            x = ConvBlock(self.channels[i + 1], norm_args=self.norm_args,
+                          act_args=act, order=order)(x, training)
+        return _pool(self.reduction)(x)
+
+
+class SetAbstraction(nn.Module):
+    """SA block: FPS downsample + grouped shared-MLP + max-pool (+ residual).
+
+    (parity: pointnext.py:81-170 SetAbstraction)
+    """
+
+    in_channels: int
+    out_channels: int
+    layers: int = 1
+    stride: int = 1
+    group_args: Optional[dict] = None
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    conv_args: Optional[dict] = None
+    sampler: str = "fps"
+    feature_type: str = "dp_fj"
+    use_res: bool = False
+    is_head: bool = False
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        all_aggr = (not self.is_head) and self.stride == 1
+        use_res = self.use_res and not all_aggr and not self.is_head
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+
+        mid = self.out_channels // 2 if self.stride > 1 else self.out_channels
+        channels = [self.in_channels] + [mid] * (self.layers - 1) + [self.out_channels]
+        if not self.is_head:
+            channels[0] = CHANNEL_MAP[self.feature_type](channels[0])
+
+        if self.is_head:
+            # stem: plain pointwise conv, no norm/act (pointnext.py:119-127)
+            x = f
+            for i in range(len(channels) - 1):
+                x = ConvBlock(channels[i + 1], norm_args=None, act_args=None,
+                              order=order)(x, training)
+            return p, x
+
+        if not all_aggr:
+            npoint = p.shape[1] // self.stride
+            idx = furthest_point_sample(p, npoint)
+            new_p = index_points(p, idx)
+        else:
+            idx = None
+            new_p = p
+
+        if use_res or "df" in self.feature_type:
+            fi = index_points(f, idx) if idx is not None else f
+            if use_res:
+                if self.in_channels != channels[-1]:
+                    identity = nn.Dense(channels[-1], use_bias=True,
+                                        kernel_init=torch_linear_init,
+                                        name="skipconv")(fi)
+                else:
+                    identity = fi
+        else:
+            fi = None
+
+        group_args = dict(self.group_args or {})
+        if all_aggr:
+            group_args["nsample"] = None
+            group_args["radius"] = None
+        grouper = create_grouper(group_args)
+        dp, fj = grouper(new_p, p, f)
+        fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
+
+        x = fj
+        for i in range(len(channels) - 1):
+            act = None if (i == len(channels) - 2 and use_res) else self.act_args
+            x = ConvBlock(channels[i + 1], norm_args=self.norm_args,
+                          act_args=act, order=order)(x, training)
+        x = jnp.max(x, axis=2)  # pool over neighbors
+        if use_res:
+            x = create_act(self.act_args)(x + identity)
+        return new_p, x
+
+
+class InvResMLP(nn.Module):
+    """Inverted-residual MLP block (parity: pointnext.py:229-276)."""
+
+    in_channels: int
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    aggr_args: Optional[dict] = None
+    group_args: Optional[dict] = None
+    conv_args: Optional[dict] = None
+    expansion: int = 1
+    use_res: bool = True
+    num_posconvs: int = 2
+    less_act: bool = False
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+        identity = f
+        x = LocalAggregation(
+            channels=[self.in_channels, self.in_channels],
+            norm_args=self.norm_args,
+            act_args=self.act_args if self.num_posconvs > 0 else None,
+            group_args=self.group_args, conv_args=self.conv_args,
+            feature_type=aggr.get("feature_type", "dp_fj"),
+            reduction=aggr.get("reduction", "max"))(p, f, training)
+        mid = int(self.in_channels * self.expansion)
+        if self.num_posconvs < 1:
+            channels = []
+        elif self.num_posconvs == 1:
+            channels = [self.in_channels, self.in_channels]
+        else:
+            channels = [self.in_channels, mid, self.in_channels]
+        for i in range(len(channels) - 1):
+            act = self.act_args if (i != len(channels) - 2) and not self.less_act else None
+            x = ConvBlock(channels[i + 1], norm_args=self.norm_args,
+                          act_args=act, order=order)(x, training)
+        if self.use_res and x.shape[-1] == identity.shape[-1]:
+            x = x + identity
+        return p, create_act(self.act_args)(x)
+
+
+class FeaturePropagation(nn.Module):
+    """FP upsampling: 3-NN interpolate + skip concat + MLP
+    (parity: pointnext.py:173-226 FeaturePropogation, upsample branch)."""
+
+    mlp: Sequence[int]  # [in_total, out, out, ...]
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, p1, f1, p2, f2, training: bool = False):
+        interp = three_interpolation(p1, p2, f2)
+        x = jnp.concatenate([f1, interp], axis=-1) if f1 is not None else interp
+        for c in self.mlp[1:]:
+            x = ConvBlock(c, norm_args=self.norm_args or {"norm": "bn1d"},
+                          act_args=self.act_args or {"act": "relu"})(x, training)
+        return x
+
+
+def _to_full_list(param, blocks, strides, param_scaling=1):
+    """Per-stage/per-block radius & nsample expansion
+    (parity: pointnext.py:389-407 _to_full_list)."""
+    param_list = []
+    if isinstance(param, (list, tuple)):
+        for i, value in enumerate(param):
+            value = list(value) if isinstance(value, (list, tuple)) else [value]
+            if len(value) != blocks[i]:
+                value += [value[-1]] * (blocks[i] - len(value))
+            param_list.append(value)
+    else:
+        for i, stride in enumerate(strides):
+            if stride == 1:
+                param_list.append([param] * blocks[i])
+            else:
+                param_list.append([param] + [param * param_scaling] * (blocks[i] - 1))
+                param *= param_scaling
+    return param_list
+
+
+@MODELS.register_module()
+class PointNextEncoder(nn.Module):
+    """PointNeXt encoder (parity: pointnext.py:310-456 PointNextEncoder)."""
+
+    in_channels: int = 4
+    width: int = 32
+    blocks: Sequence[int] = (1, 4, 7, 4, 4)
+    strides: Sequence[int] = (4, 4, 4, 4)
+    block: str = "InvResMLP"
+    nsample: Any = 32
+    radius: Any = 0.1
+    aggr_args: Optional[dict] = None
+    group_args: Optional[dict] = None
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    conv_args: Optional[dict] = None
+    sa_layers: int = 1
+    sa_use_res: bool = False
+    expansion: int = 4
+    sampler: str = "fps"
+    use_res: bool = True
+    radius_scaling: float = 2.0
+    nsample_scaling: float = 1.0
+
+    @property
+    def channel_list(self) -> List[int]:
+        channels, width = [], self.width
+        for stride in self.strides:
+            if stride != 1:
+                width *= 2
+            channels.append(width)
+        return channels
+
+    @property
+    def out_channels(self) -> int:
+        return self.channel_list[-1]
+
+    def _stage_params(self):
+        radii = _to_full_list(self.radius, self.blocks, self.strides, self.radius_scaling)
+        nsample = _to_full_list(self.nsample, self.blocks, self.strides, self.nsample_scaling)
+        return radii, nsample
+
+    @nn.compact
+    def _encode(self, p0, f0, training: bool, return_all: bool):
+        assert self.block == "InvResMLP", f"unsupported block {self.block}"
+        aggr_args = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
+        norm_args = self.norm_args or {"norm": "bn"}
+        act_args = self.act_args or {"act": "relu"}
+        radii, nsample = self._stage_params()
+        channels = self.channel_list
+
+        if f0 is None:
+            f0 = p0
+
+        p, f = p0, f0
+        ps, fs = [p0], [f0]
+        in_ch = self.in_channels
+        for i in range(len(self.blocks)):
+            is_head = i == 0 and self.strides[i] == 1
+            group_args = dict(self.group_args or {"NAME": "ballquery"})
+            group_args["radius"] = radii[i][0]
+            group_args["nsample"] = nsample[i][0]
+            p, f = SetAbstraction(
+                in_channels=in_ch, out_channels=channels[i],
+                layers=self.sa_layers if not is_head else 1,
+                stride=self.strides[i], group_args=group_args,
+                norm_args=norm_args, act_args=act_args, conv_args=self.conv_args,
+                sampler=self.sampler,
+                feature_type=aggr_args.get("feature_type", "dp_fj"),
+                use_res=self.sa_use_res, is_head=is_head,
+                name=f"enc{i}_sa")(p, f, training)
+            in_ch = channels[i]
+            for j in range(1, self.blocks[i]):
+                block_group = dict(self.group_args or {"NAME": "ballquery"})
+                block_group["radius"] = radii[i][j]
+                block_group["nsample"] = nsample[i][j]
+                p, f = InvResMLP(
+                    in_channels=in_ch, aggr_args=aggr_args,
+                    norm_args=norm_args, act_args=act_args,
+                    group_args=block_group, conv_args=self.conv_args,
+                    expansion=self.expansion, use_res=self.use_res,
+                    name=f"enc{i}_b{j}")(p, f, training)
+            ps.append(p)
+            fs.append(f)
+        if return_all:
+            return ps, fs
+        return p, f
+
+    def __call__(self, p0, f0=None, training: bool = False):
+        return self.forward_seg_feat(p0, f0, training)
+
+    def forward_cls_feat(self, p0, f0=None, training: bool = False):
+        _, f = self._encode(p0, f0, training, return_all=False)
+        # final stage pools to (B, 1, C); squeeze like pointnext.py:441
+        return f.squeeze(1) if f.shape[1] == 1 else jnp.max(f, axis=1)
+
+    def forward_seg_feat(self, p0, f0=None, training: bool = False):
+        return self._encode(p0, f0, training, return_all=True)
+
+
+@MODELS.register_module()
+class PointNextDecoder(nn.Module):
+    """FP decoder stack (parity: pointnext.py:459-496 PointNextDecoder)."""
+
+    encoder_channel_list: Sequence[int]
+    decoder_layers: int = 2
+    decoder_stages: int = 4
+    in_channels: int = 3  # channels of the raw-point feature at level 0
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        # p, f: lists from forward_seg_feat, index 0 = raw points level
+        ecl = list(self.encoder_channel_list)
+        skip_channels = ecl[:-1]
+        if len(skip_channels) < self.decoder_stages:
+            skip_channels.insert(0, self.in_channels)
+        fp_channels = ecl[: self.decoder_stages]
+
+        n = len(fp_channels)
+        f = list(f)
+        in_ch = ecl[-1]
+        for i in range(-1, -n - 1, -1):
+            mlp = [skip_channels[i] + in_ch] + [fp_channels[i]] * self.decoder_layers
+            f[i - 1] = FeaturePropagation(mlp, name=f"fp{n + i}")(
+                p[i - 1], f[i - 1], p[i], f[i], training)
+            in_ch = fp_channels[i]
+        return f[-n - 1]

@@ -1,0 +1,162 @@
+"""Conv/norm/act building blocks (flax linen, channels-last).
+
+TPU-native re-design of the reference block factories
+(openpoints/models/layers/{conv,norm,activation}.py): the reference's 1x1
+Conv1d/Conv2d over channels-first tensors become ``nn.Dense`` over the last
+axis — identical math, and channels-last puts C on the TPU lane dimension so
+pointwise MLPs run as large (B*N, C) @ (C, C') MXU matmuls.
+
+``order='conv-norm-act'`` matches the reference default
+(cfgs/scanobjectnn/pointnext-s.yaml conv_args). Weight init mirrors torch's
+Conv/Linear default (kaiming-uniform with a=sqrt(5) == uniform(+-sqrt(1/fan_in))).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "create_act", "ConvBlock", "LinearBlock", "CHANNEL_MAP", "torch_linear_init",
+    "torch_bias_init", "NormAct",
+]
+
+# torch nn.Linear/Conv default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
+    bound = 1.0 / (fan_in ** 0.5)
+    import jax
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def create_act(act_args: Optional[dict]) -> Optional[Callable]:
+    """Activation factory (parity: openpoints/models/layers/activation.py)."""
+    if act_args is None:
+        return None
+    args = dict(act_args)
+    name = args.pop("act", None)
+    if name is None:
+        return None
+    name = name.lower()
+    if name == "relu":
+        return nn.relu
+    if name == "leakyrelu":
+        slope = args.get("negative_slope", 0.01)
+        return lambda x: nn.leaky_relu(x, negative_slope=slope)
+    if name == "gelu":
+        return nn.gelu
+    if name == "sigmoid":
+        return nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    if name == "silu" or name == "swish":
+        return nn.silu
+    if name == "hardswish":
+        return nn.hard_swish
+    if name in ("elu",):
+        return nn.elu
+    if name in ("selu",):
+        return nn.selu
+    if name in ("rrelu",):  # eval-mode rrelu == leaky relu with mean slope
+        return lambda x: nn.leaky_relu(x, negative_slope=(1 / 8 + 1 / 3) / 2)
+    raise ValueError(f"unknown activation {name}")
+
+
+# channel-size mapper per aggregation feature type
+# (parity: openpoints/models/layers/local_aggregation.py:13-29 CHANNEL_MAP)
+CHANNEL_MAP = {
+    "fj": lambda c: c,
+    "df": lambda c: c,
+    "assa": lambda c: c * 3,
+    "assa_dp": lambda c: c * 3 + 3,
+    "dp_fj": lambda c: 3 + c,
+    "pj": lambda c: c,
+    "dp": lambda c: 3,
+    "pi_dp": lambda c: c + 3,
+    "dp_fj_df": lambda c: c * 2 + 3,
+    "dp_fi_df": lambda c: c * 2 + 3,
+    "pi_dp_fj_df": lambda c: c * 2 + 6,
+    "dp_df": lambda c: c + 3,
+}
+
+
+class NormAct(nn.Module):
+    """Norm (+ optional act) applied channels-last; norm reduces over all
+    leading axes like torch BatchNorm1d/2d."""
+
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.norm_args is not None and self.norm_args.get("norm"):
+            norm = self.norm_args["norm"].lower()
+            if norm.startswith("bn"):
+                x = nn.BatchNorm(use_running_average=not training,
+                                 momentum=0.9, epsilon=1e-5)(x)
+            elif norm.startswith("ln"):
+                x = nn.LayerNorm(epsilon=1e-5)(x)
+            elif norm.startswith("in"):
+                x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)(x)
+            else:
+                raise ValueError(f"unknown norm {norm}")
+        act = create_act(self.act_args)
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Pointwise conv block: Dense + norm + act in configurable order.
+
+    Covers the reference's create_convblock1d / create_convblock2d /
+    create_linearblock (openpoints/models/layers/conv.py:24-106) — on TPU they
+    are all the same channels-last Dense.
+    """
+
+    channels: int
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    order: str = "conv-norm-act"
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        use_bias = self.bias and self.norm_args is None
+        dense = nn.Dense(self.channels, use_bias=use_bias,
+                         kernel_init=torch_linear_init)
+        norm_act = NormAct(self.norm_args, self.act_args)
+        if self.order == "conv-norm-act":
+            return norm_act(dense(x), training)
+        if self.order == "norm-act-conv":
+            return dense(norm_act(x, training))
+        if self.order == "conv-act-norm":
+            act = create_act(self.act_args)
+            y = dense(x)
+            if act is not None:
+                y = act(y)
+            return NormAct(self.norm_args, None)(y, training)
+        raise ValueError(f"unknown order {self.order}")
+
+
+class LinearBlock(nn.Module):
+    """Linear + norm + act (+ optional dropout), used by classification heads
+    (parity: create_linearblock + nn.Dropout in ClsHead,
+    openpoints/models/classification/cls_base.py:110-123)."""
+
+    channels: int
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Dense(self.channels, use_bias=True,
+                     kernel_init=torch_linear_init)(x)
+        x = NormAct(self.norm_args, self.act_args)(x, training)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x
