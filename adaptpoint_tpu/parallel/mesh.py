@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers — the TPU replacement for the reference's
+NCCL DDP stack (openpoints/utils/dist_utils.py + DDP wiring, SURVEY.md §2.2).
+
+Data parallelism: one ``jax.sharding.Mesh`` axis 'dp' over all devices; batches
+are sharded on axis 0, parameters replicated. Gradient averaging, SyncBN batch
+statistics, and metric reduction all come from XLA-inserted collectives over
+the sharded jit program (psum over ICI) — no explicit NCCL-style calls.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["get_mesh", "batch_sharding", "shard_batch", "replicate"]
+
+
+def get_mesh(devices=None, axis_name: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
+    """device_put each batch array sharded on axis 0 ('n_valid' replicated)."""
+    sharding = batch_sharding(mesh, axis_name)
+    rep = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.ndim == 0 or arr.shape[0] % mesh.size != 0:
+            out[k] = jax.device_put(arr, rep)
+        else:
+            out[k] = jax.device_put(arr, sharding)
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.device_put(tree, rep)
