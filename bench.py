@@ -1,0 +1,61 @@
+"""Benchmark: PointNeXt-S inference throughput on ScanObjectNN shapes.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference PointNeXt-S at 2040 clouds/sec on V100-32GB with
+batch 128 x 1024 points (cfgs/scanobjectnn/pointnext-s.yaml:3,
+docs/modelzoo.md — see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CLOUDS_PER_SEC = 2040.0  # V100, reference throughput protocol
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "cfgs/scanobjectnn/pointnext-s.yaml"), recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+
+    B, N = 128, 1024  # reference throughput protocol (examples/profile.py)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+
+    @jax.jit
+    def forward(pos, x):
+        return model.apply(variables, pos, x, training=False)
+
+    forward(pos, x).block_until_ready()  # compile
+    # timed loop (reference: examples/profile.py:93-105)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(pos, x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    clouds_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "pointnext-s_scanobjectnn_infer_throughput_128x1024",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
