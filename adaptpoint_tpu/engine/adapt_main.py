@@ -1,0 +1,179 @@
+"""AdaptPoint experiment driver (``mode: adaptpoint`` / ``adaptpoint_modelnet``).
+
+Parity with the reference (examples/classification/train_autoaug.py:242-461):
+per epoch — (A) train G/D over the full train loader with the frozen
+classifier providing feedback, buffering the generated fake clouds; (B) train
+the classifier one epoch on the fake buffer; every 10 epochs run the
+ScanObjectNN-C corruption sweep; validate per val_freq; checkpoint
+latest/best + the GAN pair; final test of last and best + corruption sweeps.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from ..datasets import (NumpyLoader, build_dataloader_from_cfg,
+                        eval_corrupt_wrapper)
+from ..datasets.scanobjectnn import ScanObjectNNC
+from ..metricslog import Summary
+from ..models import build_model_from_cfg
+from ..parallel import get_mesh
+from ..transforms import build_transforms_from_cfg
+from ..utils import load_checkpoint, save_checkpoint, set_random_seed
+from ..utils.ckpt import save_pytree
+from ..adapt.feedback import update_hardratio
+from .adapt_trainer import build_gan, make_gan_step, train_gan_epoch
+from .cls_main import _restore_state, _state_payload, print_cls_results
+from .cls_trainer import (build_train_tools, init_state, make_eval_step,
+                          make_train_step, train_one_epoch, validate)
+
+__all__ = ["main", "validate_scanobjectnnc"]
+
+
+def validate_scanobjectnnc(split, eval_step, state, mesh, cfg):
+    """Corruption-split eval pass (parity: train_autoaug.py:550-574)."""
+    transform = build_transforms_from_cfg(
+        "val", cfg.get("datatransforms_scanobjectnn_c"))
+    data_dir = cfg.get("scanobjectnn_c_dir", "./data/ScanObjectNN_C/scanobjectnn_c")
+    ds = ScanObjectNNC(data_dir=data_dir, split=split, transform=transform)
+    loader = NumpyLoader(ds, cfg.get("val_batch_size", cfg.batch_size))
+    macc, oa, accs, cm = validate(eval_step, state, loader, mesh, cfg)
+    return {"acc": oa / 100.0}
+
+
+def main(cfg):
+    seed = cfg.get("seed") or 0
+    rng = set_random_seed(seed)
+    mesh = get_mesh()
+
+    model = build_model_from_cfg(cfg.model)
+    if cfg.model.get("in_channels", None) is None:
+        cfg.model.in_channels = cfg.model.encoder_args.in_channels
+
+    val_loader = build_dataloader_from_cfg(
+        cfg.get("val_batch_size", cfg.batch_size), cfg.dataset, cfg.dataloader,
+        datatransforms_cfg=cfg.datatransforms, split="val", seed=seed)
+    test_loader = val_loader
+    if hasattr(val_loader.dataset, "classes"):
+        cfg.classes = list(val_loader.dataset.classes)
+
+    example = next(iter(val_loader))
+    rng, init_rng, gan_rng = jax.random.split(rng, 3)
+    criterion, tx, lr_fn = build_train_tools(cfg, model)
+    state = init_state(cfg, model, tx, init_rng, example)
+    criterion, tx, lr_fn = build_train_tools(cfg, model, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step = make_train_step(model, tx, criterion, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    mode = cfg.get("mode", "adaptpoint")
+    if cfg.get("pretrained_path") and mode in ("test", "val"):
+        payload, epoch_loaded, _ = load_checkpoint(
+            _state_payload(state), cfg.pretrained_path)
+        state = _restore_state(state, payload)
+        macc, oa, accs, _ = validate(eval_step, state, test_loader, mesh, cfg)
+        print_cls_results(oa, macc, accs, epoch_loaded, cfg)
+        return oa
+
+    train_loader = build_dataloader_from_cfg(
+        cfg.batch_size, cfg.dataset, cfg.dataloader,
+        datatransforms_cfg=cfg.datatransforms, split="train", seed=seed)
+
+    example_cloud = jax.numpy.asarray(example["x"][:2, :, :3])
+    generator, discriminator, tx_g, tx_d, gan_state = build_gan(
+        cfg, example_cloud, gan_rng)
+    gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, model, cfg)
+
+    summary = Summary(cfg.get("run_dir"))
+    params_cfg = cfg.adaptpoint_params
+    best_val, macc_when_best, best_epoch = 0.0, 0.0, 0
+    val_oa = val_macc = 0.0
+    adjust_epoch = cfg.get("adaptpoint_adjustepoch", 0)
+
+    for epoch in range(cfg.get("start_epoch", 1), cfg.epochs + 1):
+        train_loader.set_epoch(epoch)
+        lr = lr_fn(epoch - 1)
+        rng, gan_erng, cls_erng = jax.random.split(rng, 3)
+
+        if epoch > adjust_epoch:
+            # PHASE A: adversarial augmentor training on the real loader
+            hardratio = update_hardratio(params_cfg.hardratio_s,
+                                         params_cfg.hardratio, epoch, cfg.epochs)
+            gan_state, fake_dataset, gan_metrics = train_gan_epoch(
+                gan_step, gan_state, state, train_loader, mesh, gan_erng,
+                hardratio, cfg, summary)
+            if cfg.get("run_dir"):
+                save_pytree({"generator": {"params": gan_state.g_params,
+                                           "batch_stats": gan_state.g_bs},
+                             "discriminator": {"params": gan_state.d_params,
+                                               "batch_stats": gan_state.d_bs}},
+                            os.path.join(cfg.run_dir, "model_gan.msgpack"))
+            # PHASE B: classifier epoch on the fake buffer
+            fake_loader = NumpyLoader(fake_dataset, cfg.batch_size,
+                                      shuffle=True, drop_last=True,
+                                      seed=seed + epoch)
+            state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
+                train_step, state, fake_loader, mesh, cls_erng, lr, cfg)
+        else:
+            state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
+                train_step, state, train_loader, mesh, cls_erng, lr, cfg)
+
+        if (epoch + 1) % 10 == 0:
+            try:
+                eval_corrupt_wrapper(
+                    validate_scanobjectnnc,
+                    {"eval_step": eval_step, "state": state, "mesh": mesh,
+                     "cfg": cfg},
+                    cfg.get("run_dir"), epoch)
+            except FileNotFoundError as e:
+                logging.warning("skipping corruption eval: %s", e)
+
+        is_best = False
+        if epoch % cfg.val_freq == 0:
+            val_macc, val_oa, val_accs, _ = validate(
+                eval_step, state, val_loader, mesh, cfg)
+            is_best = val_oa > best_val
+            if is_best:
+                best_val, macc_when_best, best_epoch = val_oa, val_macc, epoch
+                logging.info("Find a better ckpt @E%d", epoch)
+                print_cls_results(val_oa, val_macc, val_accs, epoch, cfg)
+
+        logging.info("Epoch %d LR %.6f train_oa %.2f val_oa %.2f best %.2f",
+                     epoch, lr, train_oa, val_oa, best_val)
+        summary.add_scalar("train_loss", train_loss, epoch)
+        summary.add_scalar("train_oa", train_oa, epoch)
+        summary.add_scalar("lr", lr, epoch)
+        summary.add_scalar("val_oa", val_oa, epoch)
+        summary.add_scalar("best_val", best_val, epoch)
+        if cfg.get("run_name"):
+            save_checkpoint(cfg, _state_payload(state), epoch,
+                            is_best=is_best, additional={"best_val": best_val})
+
+    # final tests (train_autoaug.py:437-456)
+    test_macc, test_oa, test_accs, _ = validate(eval_step, state, test_loader,
+                                                mesh, cfg)
+    print_cls_results(test_oa, test_macc, test_accs, best_epoch, cfg)
+    if cfg.get("run_name"):
+        best_path = os.path.join(cfg.ckpt_dir, f"{cfg.run_name}_ckpt_best.msgpack")
+        if os.path.exists(best_path):
+            payload, e, _ = load_checkpoint(_state_payload(state), best_path)
+            state = _restore_state(state, payload)
+            test_macc, test_oa, test_accs, _ = validate(
+                eval_step, state, test_loader, mesh, cfg)
+            print_cls_results(test_oa, test_macc, test_accs, e, cfg)
+    for tag in ("best", "latest"):
+        try:
+            eval_corrupt_wrapper(
+                validate_scanobjectnnc,
+                {"eval_step": eval_step, "state": state, "mesh": mesh,
+                 "cfg": cfg},
+                cfg.get("run_dir"), f"final_{tag}")
+            break  # state already holds best; one sweep is the reference's pair
+        except FileNotFoundError as e:
+            logging.warning("skipping final corruption eval: %s", e)
+            break
+    summary.close()
+    return best_val

@@ -1,0 +1,193 @@
+"""AdaptPoint adversarial-augmentation training engine.
+
+Functional re-design of the reference two-phase epoch
+(examples/classification/train_autoaug.py:119-237 train_gan + :361-398 epoch
+loop):
+
+Phase A (``gan_step``, one jit'd program): with the task classifier frozen in
+eval mode, the generator produces fake clouds; G is updated on
+BCE(D(gen), 0.9) + perception-guidance feedback; D is updated on
+(BCE(D(real), 0.9) + BCE(D(stop_grad(gen)), 0.1)) / 2 — all inside a single
+sharded step, so generation never round-trips through the host (the reference
+buffers to numpy + a fresh DataLoader; we keep the buffer semantics by
+collecting gen outputs per batch, but generation + both updates stay fused
+on-device).
+
+Phase B trains the classifier on the epoch's fake buffer with the standard
+train step (FPS 2048->1200->1024 resampling inside the step).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..adapt import build_adaptpointmodels_from_cfg, feedback_loss
+from ..adapt.form_dataset import FormDatasetCls
+from ..loss import BCELoss, build_criterion_from_cfg
+from ..parallel import shard_batch
+from ..utils import AverageMeter
+
+__all__ = ["GanState", "build_gan", "make_gan_step", "train_gan_epoch"]
+
+_bce = BCELoss()
+
+
+class GanState(struct.PyTreeNode):
+    g_params: Any
+    g_bs: Any
+    g_opt: Any
+    d_params: Any
+    d_bs: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def build_gan(cfg, example_cloud, rng):
+    """Build G + D and their Adam optimizers
+    (parity: train_autoaug.py:80-117 get_gan_model; Adam lr 1e-4 / 4e-4,
+    betas (b1, b2))."""
+    params_cfg = cfg.adaptpoint_params
+    generator = build_adaptpointmodels_from_cfg(cfg.adaptmodel_gan)
+    discriminator = build_adaptpointmodels_from_cfg(cfg.adaptmodel_dis)
+
+    rg, rd, rw, rgum = jax.random.split(rng, 4)
+    g_vars = generator.init(
+        {"params": rg, "wolf": rw, "gumbel": rgum}, example_cloud,
+        training=False)
+    d_vars = discriminator.init({"params": rd, "dropout": rd}, example_cloud,
+                                training=False)
+
+    tx_g = optax.adam(params_cfg.lr_generator, b1=params_cfg.b1, b2=params_cfg.b2)
+    tx_d = optax.adam(params_cfg.lr_discriminator, b1=params_cfg.b1,
+                      b2=params_cfg.b2)
+    state = GanState(
+        g_params=g_vars["params"], g_bs=g_vars.get("batch_stats", FrozenDict()),
+        g_opt=tx_g.init(g_vars["params"]),
+        d_params=d_vars["params"], d_bs=d_vars.get("batch_stats", FrozenDict()),
+        d_opt=tx_d.init(d_vars["params"]),
+        step=jnp.zeros((), jnp.int32))
+    return generator, discriminator, tx_g, tx_d, state
+
+
+def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
+    """One fused G+D adversarial step (parity: train_autoaug.py:133-226)."""
+    criterion = build_criterion_from_cfg(cfg.criterion_args)
+    feedback_ratio = float(cfg.get("feedbackloss_ratio", 1))
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+
+    def cls_forward(cls_state, pos, x):
+        # frozen task model, eval mode (ganloss_cls.py:44-47)
+        return cls_model.apply(
+            {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
+            pos, x, training=False)
+
+    @jax.jit
+    def gan_step(state: GanState, cls_state, batch, rng, hardratio):
+        points = batch["x"]  # (B, N, C) channels-last, xyz in [..,:3]
+        label = batch["y"]
+        input_pc = points[..., :3]
+        r_wolf, r_gum, r_d1, r_d2, r_d3 = jax.random.split(rng, 5)
+
+        def g_loss_fn(g_params):
+            (_, gen), g_updates = generator.apply(
+                {"params": g_params, "batch_stats": state.g_bs},
+                input_pc, training=True,
+                rngs={"wolf": r_wolf, "gumbel": r_gum},
+                mutable=["batch_stats"])
+            d_prob, d_updates = discriminator.apply(
+                {"params": state.d_params, "batch_stats": state.d_bs},
+                gen, training=True, rngs={"dropout": r_d1},
+                mutable=["batch_stats"])
+            g_loss_raw = _bce(d_prob, jnp.full_like(d_prob, 0.9))
+
+            fake_x = jnp.concatenate([gen, points[..., 3:in_channels]], -1)
+            logits_fake = cls_forward(cls_state, gen, fake_x)
+            logits_real = cls_forward(cls_state, input_pc,
+                                      points[..., :in_channels])
+            loss_fake = criterion(logits_fake, label)
+            loss_real = criterion(logits_real, label)
+            fb = feedback_loss(loss_fake, loss_real, hardratio)
+            g_loss = g_loss_raw + fb * feedback_ratio if feedback_ratio > 0 \
+                else g_loss_raw
+            aux = dict(gen=gen, g_bs=g_updates["batch_stats"],
+                       d_bs=d_updates["batch_stats"], g_loss_raw=g_loss_raw,
+                       feedback=fb, loss_fake=loss_fake, loss_real=loss_real)
+            return g_loss, aux
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params)
+        g_up, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_up)
+
+        gen_detached = jax.lax.stop_gradient(aux["gen"])
+
+        def d_loss_fn(d_params):
+            real_prob, d_up1 = discriminator.apply(
+                {"params": d_params, "batch_stats": aux["d_bs"]},
+                input_pc, training=True, rngs={"dropout": r_d2},
+                mutable=["batch_stats"])
+            fake_prob, d_up2 = discriminator.apply(
+                {"params": d_params, "batch_stats": d_up1["batch_stats"]},
+                gen_detached, training=True, rngs={"dropout": r_d3},
+                mutable=["batch_stats"])
+            real_loss = _bce(real_prob, jnp.full_like(real_prob, 0.9))
+            fake_loss = _bce(fake_prob, jnp.full_like(fake_prob, 0.1))
+            return (real_loss + fake_loss) / 2.0, d_up2["batch_stats"]
+
+        (d_loss, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params)
+        d_up, d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_up)
+
+        new_state = state.replace(
+            g_params=g_params, g_bs=aux["g_bs"], g_opt=g_opt,
+            d_params=d_params, d_bs=d_bs, d_opt=d_opt, step=state.step + 1)
+        metrics = {"g_loss": g_loss, "g_loss_raw": aux["g_loss_raw"],
+                   "d_loss": d_loss, "feedback": aux["feedback"],
+                   "loss_fake": aux["loss_fake"], "loss_real": aux["loss_real"]}
+        return new_state, aux["gen"], metrics
+
+    return gan_step
+
+
+def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
+                    rng, hardratio, cfg, summary=None):
+    """Phase A over the full train loader; returns the fake-cloud dataset
+    (parity: train_autoaug.py:119-237 train_gan)."""
+    out_buf, label_buf, points_buf = [], [], []
+    meters = {k: AverageMeter() for k in ("g_loss", "d_loss", "feedback")}
+    hr = jnp.asarray(hardratio, jnp.float32)
+    for i, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        y_host = batch["y"]
+        x_host = batch["x"]
+        sb = shard_batch(mesh, batch)
+        gan_state, gen, metrics = gan_step(gan_state, cls_state, sb, sub, hr)
+        gen_host = np.asarray(gen)
+        out_buf.append(gen_host)
+        label_buf.append(np.asarray(y_host))
+        pts = np.asarray(x_host).copy()
+        pts[..., :3] = gen_host  # fake xyz + original extra channels
+        points_buf.append(pts)
+        for k in meters:
+            meters[k].update(float(metrics[k]))
+        if summary is not None:
+            for k, v in metrics.items():
+                summary.add_scalar(f"train_G_iter/{k}", float(v),
+                                   summary.train_iter_num)
+            summary.add_scalar("train_G_iter/hardratio", float(hardratio),
+                               summary.train_iter_num)
+            summary.summary_train_iter_num_update()
+    logging.info("GAN epoch: g_loss %.4f d_loss %.4f feedback %.4f",
+                 meters["g_loss"].avg, meters["d_loss"].avg,
+                 meters["feedback"].avg)
+    fake = FormDatasetCls(out_buf, label_buf, points_buf)
+    return gan_state, fake, {k: m.avg for k, m in meters.items()}

@@ -32,6 +32,22 @@ class SmoothCrossEntropy:
         self.num_classes = num_classes
         self.weight = None if weight is None else jnp.asarray(weight)
 
+    def per_sample(self, logits, labels):
+        """Unreduced per-sample loss (used by RSMix's lambda-mixed loss,
+        train_pointwolf_utils.py:150-157)."""
+        n_class = logits.shape[-1]
+        eps = self.label_smoothing
+        one_hot = jnn.one_hot(labels, n_class, dtype=logits.dtype)
+        if eps > 0:
+            target = one_hot * (1.0 - eps) + (1.0 - one_hot) * eps / (n_class - 1)
+        else:
+            target = one_hot
+        logp = jnn.log_softmax(logits, axis=-1)
+        per = -(target * logp)
+        if self.weight is not None:
+            per = per * self.weight
+        return per.sum(axis=-1)
+
     def __call__(self, logits, labels):
         # logits (..., C) channels-last; labels (...) int
         if logits.ndim > 2:

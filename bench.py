@@ -17,6 +17,11 @@ BASELINE_CLOUDS_PER_SEC = 2040.0  # V100, reference throughput protocol
 
 def main():
     import jax
+    try:  # persistent compile cache: first compile via the remote tunnel is slow
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,32 @@
+"""Full AdaptPoint two-phase training loop on the synthetic fixture:
+phase A (G/D adversarial step with frozen-classifier feedback) -> fake buffer
+-> phase B classifier epoch, on the 8-device CPU mesh."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from adaptpoint_tpu.utils import EasyConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_adaptpoint_two_phase_loop(tmp_path):
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/synthetic/pointnext-tiny_adaptpoint.yaml"),
+             recursive=True)
+    cfg.update_opts(["epochs=2", "batch_size=16", "val_batch_size=16"])
+    cfg.run_dir = str(tmp_path)
+    cfg.run_name = "adapt_test"
+    cfg.ckpt_dir = str(tmp_path / "checkpoint")
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+
+    from adaptpoint_tpu.engine.adapt_main import main
+    best_val = main(cfg)
+    assert best_val >= 0
+    # GAN checkpoint written each epoch (parity: model_gan.pth)
+    assert os.path.exists(os.path.join(cfg.run_dir, "model_gan.msgpack"))
+    assert os.path.exists(os.path.join(cfg.ckpt_dir,
+                                       "adapt_test_ckpt_latest.msgpack"))
