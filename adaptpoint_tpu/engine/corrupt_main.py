@@ -119,18 +119,20 @@ def make_train_step_mixed(model, tx, criterion, cfg):
 def train_one_epoch_rsmix(train_step_mixed, state, loader, mesh, rng, lr, cfg,
                           apply_pointwolf=False):
     """RSMix (and WolfMix) epoch: host-side mixing, device step
-    (parity: train_pointwolf_utils.py:90-269)."""
+    (parity: train_pointwolf_utils.py:90-269). WolfMix nests its params under
+    cfg.wolfmix (cfgs/scanobjectnn/pointnext-s_valcorruption_wwolfmix.yaml)."""
     loss_meter = AverageMeter()
     cm = ConfusionMatrix(num_classes=cfg.num_classes)
-    params = cfg.rsmix_params
+    params = (cfg.wolfmix.rsmix_params if apply_pointwolf
+              else cfg.rsmix_params)
     lr = jnp.asarray(lr, jnp.float32)
-    np_rng = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2 ** 31)))
+    np_rng = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)))
     for batch in loader:
         rng, sub = jax.random.split(rng)
         points = np.asarray(batch["x"])
         if apply_pointwolf:
             rng, rw = jax.random.split(rng)
-            pw = dict(cfg.pointwolf)
+            pw = dict(cfg.wolfmix.pointwolf)
             _, new_xyz = pointwolf(rw, jnp.asarray(points[..., :3]),
                                    int(pw.get("w_num_anchor", 4)),
                                    float(pw.get("w_sigma", 0.5)),

@@ -76,6 +76,13 @@ def _merge_tolerant(target, loaded, path=""):
                 if k not in t:
                     unexpected.append(f"{p}/{k}" if p else str(k))
             return out
+        # optax states serialize as dicts keyed '0','1',... or as sequences
+        if isinstance(t, (list, tuple)):
+            l_seq = ([l[str(i)] if str(i) in l else None for i in range(len(t))]
+                     if isinstance(l, dict) else list(l))
+            out = [rec(ti, li, f"{p}/{i}") if li is not None else ti
+                   for i, (ti, li) in enumerate(zip(t, l_seq))]
+            return type(t)(out) if not hasattr(t, "_fields") else type(t)(*out)
         t_arr = np.asarray(t) if not isinstance(t, dict) else None
         if t_arr is not None and not isinstance(l, dict):
             l_arr = np.asarray(l)

@@ -1,0 +1,74 @@
+"""Smoke tests for the secondary backbones (PointNet++, PointNet, PointMLP)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adaptpoint_tpu.models.build import MODELS
+
+
+@pytest.fixture
+def inputs(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    return pos, x
+
+
+def test_pointnet2_encoder(inputs):
+    pos, x = inputs
+    enc = MODELS.build({
+        "NAME": "PointNet2Encoder", "in_channels": 4,
+        "mlps": [[[64, 64, 128]], [[128, 128, 256]], [[256, 512, 1024]]],
+        "radius": [0.2, 0.4, None], "num_samples": [32, 64, None],
+        "strides": [4, 4, 1],
+        "group_args": {"NAME": "ballquery"}, "norm_args": {"norm": "bn"},
+        "act_args": {"act": "relu"}})
+    assert enc.out_channels == 1024
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 1024)
+
+
+def test_pointnet_encoder(inputs):
+    pos, x = inputs
+    enc = MODELS.build({"NAME": "PointNetEncoder", "in_channels": 4,
+                        "input_transform": True, "feature_transform": True})
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 1024)
+    # T-Net init at identity: first forward equals no-transform path closely
+    _, seg = enc.apply(v, pos, x, training=False, method="forward_seg_feat")
+    assert seg.shape == (2, 128, 1024 + 64)
+
+
+def test_pointmlp_encoder(inputs):
+    pos, x = inputs
+    enc = MODELS.build({"NAME": "PointMLPEncoder", "in_channels": 4,
+                        "embed_dim": 16,
+                        "dim_expansion": [2, 2], "pre_blocks": [1, 1],
+                        "pos_blocks": [1, 1], "k_neighbors": [8, 8],
+                        "reducers": [2, 2]})
+    assert enc.out_channels == 64
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 64)
+
+
+def test_basecls_with_pointnet2(inputs):
+    pos, x = inputs
+    from adaptpoint_tpu.models import build_model_from_cfg
+    model = build_model_from_cfg({
+        "NAME": "BaseCls",
+        "encoder_args": {
+            "NAME": "PointNet2Encoder", "in_channels": 4,
+            "mlps": [[[64, 64, 128]], [[128, 128, 256]], [[256, 512, 1024]]],
+            "radius": [0.2, 0.4, None], "num_samples": [32, 64, None],
+            "strides": [4, 4, 1], "norm_args": {"norm": "bn"}},
+        "cls_args": {"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
+                     "norm_args": {"norm": "bn1d"}}})
+    v = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    out = model.apply(v, pos, x, training=False)
+    assert out.shape == (2, 15)
