@@ -1,0 +1,144 @@
+"""ShapeNetPart and ShapeNetPart-C datasets + corruption part-seg wrapper.
+
+Parity: openpoints/dataset/shapenetpart/shapenetpart.py:77-155 (ShapeNetPart:
+h5 shards, trainval translate + shuffle, class one-hot 'cls', seg labels 'y')
+and openpoints/dataset/shapenetpart_c/shapenetpart_c.py:42-200 (corruption
+splits + per-corruption acc / class mIoU / instance mIoU report).
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import os.path as osp
+from typing import Optional
+
+import numpy as np
+
+from .build import DATASETS
+
+SHAPENETPART_CLASSES = [
+    "airplane", "bag", "cap", "car", "chair", "earphone", "guitar", "knife",
+    "lamp", "laptop", "motorbike", "mug", "pistol", "rocket", "skateboard",
+    "table",
+]
+SEG_NUM = [4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3]
+CLS_PARTS = {
+    "earphone": [16, 17, 18], "motorbike": [30, 31, 32, 33, 34, 35],
+    "rocket": [41, 42, 43], "car": [8, 9, 10, 11], "laptop": [28, 29],
+    "cap": [6, 7], "skateboard": [44, 45, 46], "mug": [36, 37],
+    "guitar": [19, 20, 21], "bag": [4, 5], "lamp": [24, 25, 26, 27],
+    "table": [47, 48, 49], "airplane": [0, 1, 2, 3], "pistol": [38, 39, 40],
+    "chair": [12, 13, 14, 15], "knife": [22, 23],
+}
+CLS2PARTS = [CLS_PARTS[c] for c in SHAPENETPART_CLASSES]
+
+
+def _translate_pointcloud(pc: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Scale U[2/3,3/2] + shift U[-0.2,0.2] (parity: shapenetpart.py:41-49)."""
+    scale = rng.uniform(2.0 / 3.0, 3.0 / 2.0, 3).astype(np.float32)
+    shift = rng.uniform(-0.2, 0.2, 3).astype(np.float32)
+    return (pc * scale + shift).astype(np.float32)
+
+
+def _load_h5_seg(path):
+    import h5py
+    with h5py.File(path, "r") as f:
+        return (np.asarray(f["data"], np.float32),
+                np.asarray(f["label"]).astype(np.int64).reshape(-1),
+                np.asarray(f["pid"]).astype(np.int64))
+
+
+@DATASETS.register_module()
+class ShapeNetPart:
+    classes = SHAPENETPART_CLASSES
+    num_classes = 50  # part labels
+    cls2parts = CLS2PARTS
+    gravity_dim = 1
+
+    def __init__(self, data_root="data/shapenetpart", num_points=2048,
+                 split="train", transform=None, **kwargs):
+        split = {"train": "trainval", "val": "test"}.get(split, split)
+        self.partition = split
+        self.num_points = num_points
+        self.transform = transform
+        patterns = {"trainval": ["*train*.h5", "*val*.h5"],
+                    "train": ["*train*.h5"], "val": ["*val*.h5"],
+                    "test": ["*test*.h5"]}[split]
+        files = sorted(sum((glob.glob(osp.join(data_root, "hdf5_data", p))
+                            for p in patterns), []))
+        if not files:
+            files = sorted(sum((glob.glob(osp.join(data_root, p))
+                                for p in patterns), []))
+        if not files:
+            raise FileNotFoundError(f"no shapenetpart h5 under {data_root}")
+        data, label, seg = zip(*[_load_h5_seg(f) for f in files])
+        self.data = np.concatenate(data)
+        self.label = np.concatenate(label)
+        self.seg = np.concatenate(seg)
+        logging.info("ShapeNetPart %s: %s", split, self.data.shape)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def get(self, idx: int, rng: np.random.Generator):
+        pc = np.array(self.data[idx][: self.num_points], np.float32)
+        seg = np.array(self.seg[idx][: self.num_points], np.int64)
+        label = int(self.label[idx])
+        if self.partition == "trainval":
+            pc = _translate_pointcloud(pc, rng)
+            order = rng.permutation(pc.shape[0])
+            pc, seg = pc[order], seg[order]
+        data = {"pos": pc, "y": seg, "cls": np.int64(label)}
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        if "heights" not in data:
+            g = self.gravity_dim
+            data["heights"] = (pc[:, g:g + 1] - pc[:, g:g + 1].min()).astype(np.float32)
+        data["x"] = np.concatenate([data["pos"], data["heights"]], axis=1)
+        return data
+
+
+@DATASETS.register_module()
+class ShapeNetPartC(ShapeNetPart):
+    """Corruption splits ``{corruption}_{level}.h5`` with pid labels
+    (parity: shapenetpart_c.py:42-119)."""
+
+    def __init__(self, data_dir="./data/shapenet_c", split=None,
+                 num_points=2048, transform=None, **kwargs):
+        self.partition = split
+        self.num_points = num_points
+        self.transform = transform
+        h5 = osp.join(data_dir, f"{split}.h5")
+        if not osp.isfile(h5):
+            raise FileNotFoundError(f"{h5} not found — download ShapeNet-C first")
+        self.data, self.label, self.seg = _load_h5_seg(h5)
+
+
+def eval_corrupt_wrapper_shapenetc(eval_fn, eval_args, out_path, epoch,
+                                   n_levels: int = 5):
+    """Clean + 7 corruptions x 5 levels; reports acc / cls mIoU / ins mIoU per
+    corruption (parity: shapenetpart_c.py:120-200)."""
+    corruptions = ["clean", "scale", "jitter", "rotate", "dropout_global",
+                   "dropout_local", "add_global", "add_local"]
+    lines = [f"epoch: {epoch}"]
+    result = {}
+    for corruption in corruptions:
+        accs = {}
+        for level in range(n_levels):
+            split = "clean" if corruption == "clean" else f"{corruption}_{level}"
+            perf = eval_fn(split=split, **eval_args)
+            for k, v in perf.items():
+                accs.setdefault(k, []).append(v)
+            lines.append(str(dict(perf, corruption=corruption, level=level)))
+            if corruption == "clean":
+                break
+        agg = {k: round(sum(v) / len(v), 3) for k, v in accs.items()}
+        agg.update(corruption=corruption, level="Overall")
+        lines.append(str(agg))
+        result[corruption] = agg
+    if out_path:
+        with open(os.path.join(out_path, "outcorruption.txt"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+    logging.info("shapenet-c eval: %s", result)
+    return result

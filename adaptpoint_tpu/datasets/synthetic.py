@@ -37,6 +37,44 @@ def _make_cloud(rng: np.random.Generator, cls: int, num_points: int) -> np.ndarr
 
 
 @DATASETS.register_module()
+class SyntheticPartSeg:
+    """Synthetic part-seg fixture: 4 shape classes, parts = spatial halves
+    mapped into each class's own label range (ShapeNetPart-style layout)."""
+
+    classes = [f"class{i}" for i in range(4)]
+    cls2parts = [[0, 1], [2, 3], [4, 5], [6, 7]]
+    num_classes = 8  # part labels
+    gravity_dim = 1
+
+    def __init__(self, split: str = "train", num_points: int = 128,
+                 size: int = 32, transform=None, seed: int = 0, **kwargs):
+        self.split = split
+        self.num_points = num_points
+        self.transform = transform
+        rng = np.random.default_rng((seed, 0 if split == "train" else 1))
+        self.labels = np.arange(size) % 4
+        self.points = np.stack([
+            _make_cloud(rng, int(c), num_points) for c in self.labels])
+
+    def __len__(self):
+        return self.points.shape[0]
+
+    def get(self, idx: int, rng: np.random.Generator):
+        pc = np.array(self.points[idx], np.float32)
+        cls = int(self.labels[idx])
+        seg = (pc[:, 0] > 0).astype(np.int64) + self.cls2parts[cls][0]
+        data = {"pos": pc, "y": seg, "cls": np.int64(cls)}
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        if "heights" not in data:
+            g = self.gravity_dim
+            data["heights"] = (pc[:, g:g + 1] - pc[:, g:g + 1].min()).astype(np.float32)
+        data["x"] = np.concatenate([data["pos"], data["heights"]], axis=1)
+        data.pop("heights", None)
+        return data
+
+
+@DATASETS.register_module()
 class SyntheticCls(_ClsPointsBase):
     def __init__(self, split: str = "train", num_points: int = 1024,
                  num_classes: int = 15, size: int = 64, transform=None,

@@ -1,3 +1,4 @@
 from .build import MODELS, build_model_from_cfg
-from .backbone import pointnext, dgcnn  # noqa: F401  (register models)
+from . import backbone  # noqa: F401  (register models)
 from .classification import cls_base  # noqa: F401
+from .segmentation import base_seg  # noqa: F401

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -318,6 +319,72 @@ class PointNextEncoder(nn.Module):
 
     def forward_seg_feat(self, p0, f0=None, training: bool = False):
         return self._encode(p0, f0, training, return_all=True)
+
+
+@MODELS.register_module()
+class PointNextPartDecoder(nn.Module):
+    """Part-seg decoder conditioned on the shape class
+    (parity: pointnext.py:499-663 PointNextPartDecoder). Decoder stages run
+    deep->shallow; the shallowest FP receives the class embedding concatenated
+    to the stem-level features (pointnext.py:655-663). cls_map 'pointnet2'
+    embeds the 16-dim one-hot with a 64-wide conv (pointnext.py:552-556,
+    637-640); 'curvenet' concatenates global max-features of the two deepest
+    stages with the raw one-hot (pointnext.py:541-551, 628-636).
+    """
+
+    encoder_channel_list: Sequence[int]
+    decoder_layers: int = 2
+    decoder_blocks: Sequence[int] = (1, 1, 1, 1)
+    cls_map: str = "pointnet2"
+    num_classes: int = 16  # shape categories
+    act_args: Optional[dict] = None
+
+    @property
+    def out_channels(self) -> int:
+        return self.encoder_channel_list[0]
+
+    @nn.compact
+    def __call__(self, p, f, cls_label, training: bool = False):
+        ecl = list(self.encoder_channel_list)
+        skip_channels = ecl[:-1]
+        fp_channels = ecl[:-1]
+        n = len(fp_channels)
+        act_args = self.act_args or {"act": "relu"}
+        B, N = p[0].shape[0], p[0].shape[1]
+        f = list(f)
+
+        one_hot = jax.nn.one_hot(jnp.reshape(cls_label, (B,)),
+                                 self.num_classes, dtype=f[-1].dtype)
+        if self.cls_map == "pointnet2":
+            cls_feat = ConvBlock(64, norm_args=None, act_args=act_args,
+                                 name="convc")(
+                jnp.broadcast_to(one_hot[:, None, :], (B, N, self.num_classes)),
+                training)
+        elif self.cls_map == "curvenet":
+            emb1 = ConvBlock(64, norm_args=None, act_args=act_args,
+                             name="global_conv1")(f[-2], training)
+            emb1 = jnp.max(emb1, axis=1)  # (B, 64)
+            emb2 = ConvBlock(128, norm_args=None, act_args=act_args,
+                             name="global_conv2")(f[-1], training)
+            emb2 = jnp.max(emb2, axis=1)  # (B, 128)
+            g = jnp.concatenate([emb1, emb2, one_hot], axis=-1)
+            cls_feat = jnp.broadcast_to(g[:, None, :], (B, N, g.shape[-1]))
+        else:
+            raise ValueError(f"unsupported cls_map {self.cls_map}")
+        cls_ch = cls_feat.shape[-1]
+
+        # deep stages (no class conditioning), pointnext.py:655-657
+        in_ch = ecl[-1]
+        for idx, i in enumerate(range(-1, -n, -1)):
+            mlp = [skip_channels[i] + in_ch] + [fp_channels[i]] * self.decoder_layers
+            f[i - 1] = FeaturePropagation(mlp, name=f"fp{n + i}")(
+                p[i - 1], f[i - 1], p[i], f[i], training)
+            in_ch = fp_channels[i]
+        # shallowest stage gets [cls_feat || stem feats], pointnext.py:660-663
+        mlp = [skip_channels[0] + cls_ch + in_ch] + [fp_channels[0]] * self.decoder_layers
+        f0 = jnp.concatenate([cls_feat, f[1]], axis=-1)
+        out = FeaturePropagation(mlp, name="fp0")(p[1], f0, p[2], f[2], training)
+        return out
 
 
 @MODELS.register_module()
