@@ -104,7 +104,7 @@ def main(cfg):
                                          params_cfg.hardratio, epoch, cfg.epochs)
             gan_state, fake_dataset, gan_metrics = train_gan_epoch(
                 gan_step, gan_state, state, train_loader, mesh, gan_erng,
-                hardratio, cfg, summary)
+                hardratio, cfg, summary, epoch=epoch)
             if cfg.get("run_dir"):
                 save_pytree({"generator": {"params": gan_state.g_params,
                                            "batch_stats": gan_state.g_bs},
@@ -122,14 +122,7 @@ def main(cfg):
                 train_step, state, train_loader, mesh, cls_erng, lr, cfg)
 
         if (epoch + 1) % 10 == 0:
-            try:
-                eval_corrupt_wrapper(
-                    validate_scanobjectnnc,
-                    {"eval_step": eval_step, "state": state, "mesh": mesh,
-                     "cfg": cfg},
-                    cfg.get("run_dir"), epoch)
-            except FileNotFoundError as e:
-                logging.warning("skipping corruption eval: %s", e)
+            _corruption_eval(cfg, eval_step, state, mesh, epoch)
 
         is_best = False
         if epoch % cfg.val_freq == 0:
@@ -164,16 +157,22 @@ def main(cfg):
             test_macc, test_oa, test_accs, _ = validate(
                 eval_step, state, test_loader, mesh, cfg)
             print_cls_results(test_oa, test_macc, test_accs, e, cfg)
-    for tag in ("best", "latest"):
-        try:
-            eval_corrupt_wrapper(
-                validate_scanobjectnnc,
-                {"eval_step": eval_step, "state": state, "mesh": mesh,
-                 "cfg": cfg},
-                cfg.get("run_dir"), f"final_{tag}")
-            break  # state already holds best; one sweep is the reference's pair
-        except FileNotFoundError as e:
-            logging.warning("skipping final corruption eval: %s", e)
-            break
+    _corruption_eval(cfg, eval_step, state, mesh, "final_best")
     summary.close()
     return best_val
+
+
+def _corruption_eval(cfg, eval_step, state, mesh, epoch):
+    """ScanObjectNN-C sweep, or ModelNet-C in adaptpoint_modelnet mode
+    (parity: train_autoaug.py:401-402 vs train_autoaug_modelnet.py)."""
+    eval_args = {"eval_step": eval_step, "state": state, "mesh": mesh,
+                 "cfg": cfg}
+    try:
+        if cfg.get("mode") == "adaptpoint_modelnet":
+            from ..datasets.modelnet import eval_corrupt_wrapper_modelnetc
+            eval_corrupt_wrapper_modelnetc(eval_args, cfg.get("run_dir"), epoch)
+        else:
+            eval_corrupt_wrapper(validate_scanobjectnnc, eval_args,
+                                 cfg.get("run_dir"), epoch)
+    except FileNotFoundError as e:
+        logging.warning("skipping corruption eval: %s", e)

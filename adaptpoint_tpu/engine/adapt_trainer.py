@@ -158,13 +158,29 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
     return gan_step
 
 
+def _dump_fake_batch(cfg, epoch, i, gen_host, raw_host, label_host):
+    """Periodic fake-cloud h5 dumps (parity: train_autoaug.py:213-222)."""
+    import os
+    try:
+        import h5py
+    except ImportError:
+        return
+    path = os.path.join(cfg.run_dir, "fakedata", f"epoch{epoch}")
+    os.makedirs(path, exist_ok=True)
+    with h5py.File(os.path.join(path, f"minibatch{i}.h5"), "w") as f:
+        f["pointcloud"] = gen_host
+        f["raw"] = raw_host
+        f["label"] = label_host
+
+
 def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
-                    rng, hardratio, cfg, summary=None):
+                    rng, hardratio, cfg, summary=None, epoch=0):
     """Phase A over the full train loader; returns the fake-cloud dataset
     (parity: train_autoaug.py:119-237 train_gan)."""
     out_buf, label_buf, points_buf = [], [], []
     meters = {k: AverageMeter() for k in ("g_loss", "d_loss", "feedback")}
     hr = jnp.asarray(hardratio, jnp.float32)
+    dump = cfg.get("dump_fakedata", False) and cfg.get("run_dir")
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
         y_host = batch["y"]
@@ -177,6 +193,9 @@ def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
         pts = np.asarray(x_host).copy()
         pts[..., :3] = gen_host  # fake xyz + original extra channels
         points_buf.append(pts)
+        if dump and i % 10 == 0 and i < 110:
+            _dump_fake_batch(cfg, epoch, i, gen_host,
+                             np.asarray(x_host)[..., :3], np.asarray(y_host))
         for k in meters:
             meters[k].update(float(metrics[k]))
         if summary is not None:

@@ -4,3 +4,4 @@ from .metrics import AverageMeter, ConfusionMatrix, get_mious
 from .logger import setup_logger, generate_exp_directory, resume_exp_directory
 from .random import set_random_seed
 from .ckpt import save_checkpoint, load_checkpoint, resume_checkpoint, save_pytree, load_pytree
+from .wandb import Wandb
