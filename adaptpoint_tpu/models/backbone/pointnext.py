@@ -19,7 +19,26 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock, create_act, torch_linear_init
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import furthest_point_sample, index_points, three_interpolation
+from ...ops import (ball_group, furthest_point_sample, index_points,
+                    three_interpolation)
+
+
+def _aggregation_features_kfirst(p, dp, fi, fj, feature_type):
+    """get_aggregation_features for the fused (B,K,M,*) neighbor-first layout
+    (parity: group.py:323-335; pool over axis 1 downstream)."""
+    if feature_type == "dp_fj":
+        return jnp.concatenate([dp, fj], axis=-1)
+    if feature_type in ("dp_fj_df", "dp_fi_df"):
+        df = fj - fi[:, None, :, :]
+        return jnp.concatenate([dp, fj, df], axis=-1)
+    if feature_type == "pi_dp_fj_df":
+        df = fj - fi[:, None, :, :]
+        pi = jnp.broadcast_to(p[:, None, :, :], dp.shape)
+        return jnp.concatenate([pi, dp, fj, df], axis=-1)
+    if feature_type == "dp_df":
+        df = fj - fi[:, None, :, :]
+        return jnp.concatenate([dp, df], axis=-1)
+    raise ValueError(feature_type)
 
 
 def _pool(reduction: str):
@@ -51,17 +70,32 @@ class LocalAggregation(nn.Module):
 
     @nn.compact
     def __call__(self, p, f, training: bool = False):
-        grouper = create_grouper(self.group_args or {})
-        dp, fj = grouper(p, p, f)
-        fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
         order = (self.conv_args or {}).get("order", "conv-norm-act")
+        group_args = dict(self.group_args or {})
         n = len(self.channels) - 1
-        x = fj
+        if group_args.get("NAME", "ballquery") == "ballquery":
+            # fused path: query == support, identity query indices
+            qidx = jnp.broadcast_to(
+                jnp.arange(p.shape[1], dtype=jnp.int32)[None], p.shape[:2])
+            _, fi, dp, fj, _ = ball_group(
+                float(group_args.get("radius", 0.1)),
+                int(group_args.get("nsample", 16)), p, qidx, f,
+                relative=group_args.get("relative_xyz", True),
+                normalize_dp=group_args.get("normalize_dp", False))
+            x = _aggregation_features_kfirst(p, dp, fi, fj, self.feature_type)
+            pool_axis = 1
+        else:
+            grouper = create_grouper(group_args)
+            dp, fj = grouper(p, p, f)
+            x = get_aggregation_features(p, dp, f, fj, self.feature_type)
+            pool_axis = 2
         for i in range(n):
             act = None if (i == n - 1 and not self.last_act) else self.act_args
             x = ConvBlock(self.channels[i + 1], norm_args=self.norm_args,
                           act_args=act, order=order)(x, training)
-        return _pool(self.reduction)(x)
+        red = "mean" if self.reduction.lower() == "avg" else self.reduction.lower()
+        fn = {"max": jnp.max, "mean": jnp.mean, "sum": jnp.sum}[red]
+        return fn(x, axis=pool_axis)
 
 
 class SetAbstraction(nn.Module):
@@ -102,40 +136,51 @@ class SetAbstraction(nn.Module):
                               order=order)(x, training)
             return p, x
 
-        if not all_aggr:
+        group_args = dict(self.group_args or {})
+        use_fused = (not all_aggr and
+                     group_args.get("NAME", "ballquery") == "ballquery")
+        if use_fused:
             npoint = p.shape[1] // self.stride
             idx = furthest_point_sample(p, npoint)
-            new_p = index_points(p, idx)
+            new_p, fi, dp, fj, _ = ball_group(
+                float(group_args.get("radius", 0.1)),
+                int(group_args.get("nsample", 16)), p, idx, f,
+                relative=group_args.get("relative_xyz", True),
+                normalize_dp=group_args.get("normalize_dp", False))
+            x = _aggregation_features_kfirst(new_p, dp, fi, fj,
+                                             self.feature_type)
+            pool_axis = 1
         else:
-            idx = None
-            new_p = p
+            if not all_aggr:
+                npoint = p.shape[1] // self.stride
+                idx = furthest_point_sample(p, npoint)
+                new_p = index_points(p, idx)
+            else:
+                idx = None
+                new_p = p
+            fi = (index_points(f, idx) if idx is not None else f) \
+                if (use_res or "df" in self.feature_type) else None
+            if all_aggr:
+                group_args["nsample"] = None
+                group_args["radius"] = None
+            grouper = create_grouper(group_args)
+            dp, fj = grouper(new_p, p, f)
+            x = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
+            pool_axis = 2
 
-        if use_res or "df" in self.feature_type:
-            fi = index_points(f, idx) if idx is not None else f
-            if use_res:
-                if self.in_channels != channels[-1]:
-                    identity = nn.Dense(channels[-1], use_bias=True,
-                                        kernel_init=torch_linear_init,
-                                        name="skipconv")(fi)
-                else:
-                    identity = fi
-        else:
-            fi = None
+        if use_res:
+            if self.in_channels != channels[-1]:
+                identity = nn.Dense(channels[-1], use_bias=True,
+                                    kernel_init=torch_linear_init,
+                                    name="skipconv")(fi)
+            else:
+                identity = fi
 
-        group_args = dict(self.group_args or {})
-        if all_aggr:
-            group_args["nsample"] = None
-            group_args["radius"] = None
-        grouper = create_grouper(group_args)
-        dp, fj = grouper(new_p, p, f)
-        fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
-
-        x = fj
         for i in range(len(channels) - 1):
             act = None if (i == len(channels) - 2 and use_res) else self.act_args
             x = ConvBlock(channels[i + 1], norm_args=self.norm_args,
                           act_args=act, order=order)(x, training)
-        x = jnp.max(x, axis=2)  # pool over neighbors
+        x = jnp.max(x, axis=pool_axis)  # pool over neighbors
         if use_res:
             x = create_act(self.act_args)(x + identity)
         return new_p, x

@@ -22,6 +22,7 @@ from .geometry import (
     gather_index,
 )
 from .pallas import furthest_point_sample_pallas
+from .pallas.ballgroup import ball_group_pallas
 
 __all__ = [
     "square_distance", "furthest_point_sample", "random_sample", "ball_query",
@@ -59,3 +60,35 @@ def fps(data, number: int):
     """FPS + gather, parity with models/layers/subsample.py:148-156 `fps`."""
     idx = furthest_point_sample(data[..., :3], number)
     return index_points(data, idx)
+
+
+def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
+                    relative=True, normalize_dp=False):
+    """XLA composite with the fused-kernel signature (CPU/test fallback)."""
+    import jax.numpy as jnp
+    new_xyz = index_points(xyz, query_idx)
+    fi = index_points(feats, query_idx)
+    idx = ball_query_xla(radius, nsample, xyz, new_xyz)
+    dp = index_points(xyz, idx)  # (B,M,K,3)
+    if relative:
+        dp = dp - new_xyz[:, :, None, :]
+        if normalize_dp:
+            dp = dp / radius
+    fj = index_points(feats, idx)
+    return (new_xyz, fi, jnp.transpose(dp, (0, 2, 1, 3)),
+            jnp.transpose(fj, (0, 2, 1, 3)), idx)
+
+
+def ball_group(radius, nsample, xyz, query_idx, feats,
+               relative=True, normalize_dp=False):
+    """Fused center-gather + ball query + neighborhood grouping.
+
+    Returns (new_xyz (B,M,3), fi (B,M,C), dp (B,K,M,3), fj (B,K,M,C),
+    idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
+    bit-identical outputs.
+    """
+    if _use_pallas():
+        return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
+                                 relative, normalize_dp)
+    return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
+                           relative, normalize_dp)

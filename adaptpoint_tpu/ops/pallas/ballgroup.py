@@ -56,11 +56,13 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
-def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, dp_ref, fj_ref,
-                idx_ref, mask_scr, idxacc_scr, *, radius: float, nsample: int,
-                n_real: int, relative: bool, normalize_dp: bool):
+def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
+                fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
+                nsample: int, n_real: int, relative: bool,
+                normalize_dp: bool):
     # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32 | feat_ref (1,N,C) f32
-    # outs: newxyz (1,TM,3), dp (1,K,TM,3), fj (1,K,TM,C), idx (1,TM,K)
+    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats, dp (1,K,TM,3),
+    #       fj (1,K,TM,C), idx (1,TM,K)
     _, n_pad, _ = xyz_ref.shape
     tm = qidx_ref.shape[-1]
     K = nsample
@@ -74,6 +76,9 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, dp_ref, fj_ref,
     oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)
     q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
     newxyz_ref[0] = q
+
+    c = feat_ref.shape[-1]
+    w = 3 + c  # packed [xyz | feats] group width
 
     # pairwise squared distances (TM,N): 3-split cross term ~ f32 accuracy
     q_hi, q_mid, q_lo = _split3(q)
@@ -92,7 +97,14 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, dp_ref, fj_ref,
 
     feats = feat_ref[0]  # (N,C)
     f_hi, f_mid, f_lo = _split3(feats)
+    # center features at the query indices (kills the use_res/'df' XLA gather)
+    fi_ref[0] = _oh_matmul(oh_q, f_hi, f_mid, f_lo)
     BIG = jnp.int32(2 ** 30)
+
+    # pack the three splits of [xyz | feats] into one wide bf16 operand so the
+    # per-k gather is a single MXU matmul with well-filled output columns
+    fcat = jnp.concatenate(
+        [x_hi, f_hi, x_mid, f_mid, x_lo, f_lo], axis=1)  # (N, 3w)
 
     def body(k, first_idx):
         mask = mask_scr[:]
@@ -105,8 +117,10 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, dp_ref, fj_ref,
         mask_scr[:] = mask & (lane != val)
         idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
         oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
-        g_xyz = _oh_matmul(oh, x_hi, x_mid, x_lo)  # (TM,3)
-        g_f = _oh_matmul(oh, f_hi, f_mid, f_lo)  # (TM,C)
+        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)  # (TM,3w)
+        g = r[:, :w] + r[:, w:2 * w] + r[:, 2 * w:3 * w]  # (TM,w)
+        g_xyz = g[:, :3]
+        g_f = g[:, 3:]
         dp = g_xyz
         if relative:
             dp = dp - q
@@ -120,7 +134,7 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, dp_ref, fj_ref,
     idx_ref[0] = idxacc_scr[:]
 
 
-def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_dp_ref, g_fj_ref,
+def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
                 g_xyz_ref, g_feat_ref, *, radius: float, nsample: int,
                 relative: bool, normalize_dp: bool):
     # grid (B, M//TM): out blocks are per-b, revisited across t (accumulate).
@@ -140,27 +154,35 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_dp_ref, g_fj_ref,
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
+    c = g_feat_ref.shape[-1]
+    w = 3 + c
 
-    # d(newxyz)/d(xyz): scatter g_new to query rows (3-split exact)
+    # d(newxyz)/d(xyz) and d(fi)/d(feats): scatter to query rows
     acc_xyz = _oh_matmul(oh_q.T, *_split3(g_new_ref[0]))
-    acc_feat = jnp.zeros_like(g_feat_ref[0])
+    acc_fi = _oh_matmul(oh_q.T, *_split3(g_fi_ref[0]))
+    # packed accumulator (N, 3w): one matmul per k, groups summed at the end
+    acc_cat = jnp.zeros((n_pad, 3 * w), jnp.float32)
     gdp_sum = jnp.zeros((tm, 3), jnp.float32)
 
     def k_body(k, carry):
-        acc_xyz, acc_feat, gdp_sum = carry
+        acc_cat, gdp_sum = carry
         # extract column k of idx without a dynamic lane index
         sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
         ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
         gdp = g_dp_ref[0, pl.ds(k, 1), :, :][0] * scale  # (TM,3)
         gfj = g_fj_ref[0, pl.ds(k, 1), :, :][0]  # (TM,C)
-        acc_xyz += _oh_matmul(ohT, *_split3(gdp))
-        acc_feat += _oh_matmul(ohT, *_split3(gfj))
+        gcat = jnp.concatenate([gdp, gfj], axis=1)  # (TM, w)
+        g_hi, g_mid, g_lo = _split3(gcat)
+        gwide = jnp.concatenate([g_hi, g_mid, g_lo], axis=1)  # (TM, 3w) bf16
+        acc_cat += jnp.dot(ohT, gwide, preferred_element_type=jnp.float32)
         if relative:
             gdp_sum = gdp_sum + gdp
-        return acc_xyz, acc_feat, gdp_sum
+        return acc_cat, gdp_sum
 
-    acc_xyz, acc_feat, gdp_sum = lax.fori_loop(
-        0, K, k_body, (acc_xyz, acc_feat, gdp_sum))
+    acc_cat, gdp_sum = lax.fori_loop(0, K, k_body, (acc_cat, gdp_sum))
+    acc = acc_cat[:, :w] + acc_cat[:, w:2 * w] + acc_cat[:, 2 * w:3 * w]
+    acc_xyz = acc_xyz + acc[:, :3]
+    acc_feat = acc_fi + acc[:, 3:]
     if relative:
         # dp = g_xyz - q: each dp contributes -1 to its query row
         acc_xyz -= _oh_matmul(oh_q.T, *_split3(gdp_sum))
@@ -186,8 +208,8 @@ def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
 
     xyz (B,N,3) f32; query_idx (B,M) int32 (support-point indices of the
     query centers); feats (B,N,C) f32.
-    Returns (new_xyz (B,M,3), dp (B,K,M,3), fj (B,K,M,C), idx (B,M,K) i32)
-    — note dp/fj have the neighbor axis K leading (pool over axis 1).
+    Returns (new_xyz (B,M,3), fi (B,M,C), dp (B,K,M,3), fj (B,K,M,C),
+    idx (B,M,K) i32) — dp/fj carry the neighbor axis at dim 1 (pool there).
     """
     out, _ = _ball_group_fwd(radius, nsample, xyz, query_idx, feats,
                              relative, normalize_dp)
@@ -210,7 +232,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N,
         relative=relative, normalize_dp=normalize_dp)
-    new_xyz, dp, fj, idx = pl.pallas_call(
+    new_xyz, fi, dp, fj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
         in_specs=[
@@ -224,6 +246,8 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         out_specs=(
             pl.BlockSpec((1, tm, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, tm, 3), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, tm, C), lambda b, t: (b, 0, t, 0),
@@ -233,6 +257,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
             jax.ShapeDtypeStruct((B, K, M, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, K, M, C), jnp.float32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
@@ -240,21 +265,21 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
     )(xyz, query_idx.astype(jnp.int32)[:, None, :], feats)
-    return new_xyz, dp, fj, idx
+    return new_xyz, fi, dp, fj, idx
 
 
 def _ball_group_fwd(radius, nsample, xyz, query_idx, feats, relative,
                     normalize_dp):
     out = _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                            normalize_dp)
-    new_xyz, dp, fj, idx = out
+    new_xyz, fi, dp, fj, idx = out
     res = (xyz.shape, feats.shape[-1], query_idx, idx)
     return out, res
 
 
 def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     (b, n, _), c, query_idx, idx = res
-    g_new, g_dp, g_fj, _ = grads
+    g_new, g_fi, g_dp, g_fj, _ = grads
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
@@ -273,6 +298,8 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, tm, 3), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, tm, c), lambda i, t: (i, 0, t, 0),
@@ -289,7 +316,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
             jax.ShapeDtypeStruct((b, n_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
         ),
-    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_dp, g_fj)
+    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dp, g_fj)
     return g_xyz[:, :n], None, g_feat[:, :n]
 
 

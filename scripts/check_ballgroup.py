@@ -52,6 +52,10 @@ def main():
         got = jax.jit(lambda a, b, c: ball_group_pallas(R, K, a, b, c,
                                                         True, True))(
             xyz, qidx, feats)
+        fi_ref = index_points(feats, qidx)
+        fi_err = np.max(np.abs(np.asarray(fi_ref) - np.asarray(got[1])))
+        print(f"  fi: maxerr={fi_err:.2e}")
+        got = (got[0],) + got[2:]
         names = ["new_xyz", "dp", "fj", "idx"]
         print(f"B={B} N={N} M={M} C={C}:", flush=True)
         for nm, r, g in zip(names, ref, got):
@@ -66,11 +70,14 @@ def main():
         # bwd exactness vs XLA autodiff
         def loss_xla(x, f):
             nx, dp, fj, _ = xla_ref(x, qidx, f)
-            return jnp.sum(nx ** 2) + jnp.sum(dp * dp) + jnp.sum(jnp.sin(fj))
+            fi = index_points(f, qidx)
+            return (jnp.sum(nx ** 2) + jnp.sum(dp * dp) +
+                    jnp.sum(jnp.sin(fj)) + jnp.sum(fi * 0.5))
 
         def loss_pl(x, f):
-            nx, dp, fj, _ = ball_group_pallas(R, K, x, qidx, f, True, True)
-            return jnp.sum(nx ** 2) + jnp.sum(dp * dp) + jnp.sum(jnp.sin(fj))
+            nx, fi, dp, fj, _ = ball_group_pallas(R, K, x, qidx, f, True, True)
+            return (jnp.sum(nx ** 2) + jnp.sum(dp * dp) +
+                    jnp.sum(jnp.sin(fj)) + jnp.sum(fi * 0.5))
 
         gx1, gf1 = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(xyz, feats)
         gx2, gf2 = jax.jit(jax.grad(loss_pl, argnums=(0, 1)))(xyz, feats)
