@@ -1,0 +1,88 @@
+"""Scene-dataset utilities: voxel downsampling, cropping, class weights.
+
+Parity: openpoints/dataset/data_util.py:100-195 (fnv hash voxelize with
+random-within-voxel train selection, crop_pc with voxel_max KNN-ball crop +
+padding, get_class_weights).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["voxelize", "crop_pc", "get_class_weights", "get_features_by_keys"]
+
+
+def _fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
+    arr = arr.copy().astype(np.uint64)
+    h = np.full(arr.shape[0], 14695981039346656037, dtype=np.uint64)
+    for j in range(arr.shape[1]):
+        h *= np.uint64(1099511628211)
+        h = np.bitwise_xor(h, arr[:, j])
+    return h
+
+
+def voxelize(coord: np.ndarray, voxel_size: float = 0.05, mode: int = 0,
+             rng: Optional[np.random.Generator] = None):
+    """mode 0 (train): one random point per voxel; mode 1 (val): sorted idx +
+    voxel assignment + counts (parity: data_util.py:127-144)."""
+    rng = rng or np.random.default_rng()
+    discrete = np.floor(coord / voxel_size).astype(np.int64)
+    discrete -= discrete.min(0)
+    key = _fnv_hash_vec(discrete)
+    idx_sort = np.argsort(key)
+    key_sort = key[idx_sort]
+    _, voxel_idx, count = np.unique(key_sort, return_inverse=True,
+                                    return_counts=True)
+    if mode == 0:
+        starts = np.cumsum(np.insert(count, 0, 0)[:-1])
+        idx_select = starts + rng.integers(0, count.max(), count.size) % count
+        return idx_sort[idx_select]
+    return idx_sort, voxel_idx, count
+
+
+def crop_pc(coord, feat, label, split: str = "train", voxel_size: float = 0.04,
+            voxel_max: Optional[int] = None, downsample: bool = True,
+            variable: bool = False, shuffle: bool = True,
+            rng: Optional[np.random.Generator] = None):
+    """Voxel-downsample then crop/pad to voxel_max points around a random
+    (train) / central (val) seed (parity: data_util.py:146-175)."""
+    rng = rng or np.random.default_rng()
+    if voxel_size and downsample:
+        coord = coord - coord.min(0)
+        uniq = voxelize(coord, voxel_size, mode=0, rng=rng)
+        coord = coord[uniq]
+        feat = feat[uniq] if feat is not None else None
+        label = label[uniq] if label is not None else None
+    if voxel_max is not None:
+        n = len(coord)
+        if n >= voxel_max:
+            init = rng.integers(n) if "train" in split else n // 2
+            crop_idx = np.argsort(((coord - coord[init]) ** 2).sum(1))[:voxel_max]
+        elif not variable:
+            pad = rng.choice(n, voxel_max - n)
+            crop_idx = np.hstack([np.arange(n), pad])
+        else:
+            crop_idx = np.arange(n)
+        if shuffle:
+            crop_idx = crop_idx[rng.permutation(len(crop_idx))]
+        coord = coord[crop_idx]
+        feat = feat[crop_idx] if feat is not None else None
+        label = label[crop_idx] if label is not None else None
+    coord = coord - coord.min(0)
+    return (coord.astype(np.float32),
+            feat.astype(np.float32) if feat is not None else None,
+            label.astype(np.int64) if label is not None else None)
+
+
+def get_class_weights(num_per_class, normalize: bool = False) -> np.ndarray:
+    weight = np.asarray(num_per_class, np.float64) / float(sum(num_per_class))
+    w = 1.0 / (weight + 0.02)
+    if normalize:
+        w = w * len(w) / w.sum()
+    return w.astype(np.float32)
+
+
+def get_features_by_keys(data: dict, keys: str = "pos,x") -> np.ndarray:
+    parts = [data[k] for k in keys.split(",")]
+    return np.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]

@@ -117,6 +117,21 @@ class PointCloudRotation:
 
 
 @DataTransforms.register_module()
+class PointCloudXYZAlign:
+    """Center in the xy plane, floor the gravity axis
+    (parity: point_transformer_gpu.py:71-90)."""
+
+    def __init__(self, gravity_dim=2, **kwargs):
+        self.gravity_dim = gravity_dim
+
+    def __call__(self, data, rng):
+        pos = data["pos"] - data["pos"].mean(axis=0, keepdims=True)
+        pos[:, self.gravity_dim] -= pos[:, self.gravity_dim].min()
+        data["pos"] = pos.astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
 class PointCloudJitter:
     """Gaussian jitter, clipped (parity: point_transformer_gpu.py
     PointCloudJitter)."""
