@@ -77,9 +77,6 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
     q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
     newxyz_ref[0] = q
 
-    c = feat_ref.shape[-1]
-    w = 3 + c  # packed [xyz | feats] group width
-
     # pairwise squared distances (TM,N): 3-split cross term ~ f32 accuracy
     q_hi, q_mid, q_lo = _split3(q)
     cross = jnp.dot(q_hi, x_hi.T, preferred_element_type=jnp.float32)
@@ -95,16 +92,11 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
     mask_scr[:] = inball
     idxacc_scr[:] = jnp.zeros((tm, K), jnp.int32)
 
-    feats = feat_ref[0]  # (N,C)
-    f_hi, f_mid, f_lo = _split3(feats)
+    fx = feat_ref[0]  # (N, w) = [xyz | feats]
+    fx_hi, fx_mid, fx_lo = _split3(fx)
     # center features at the query indices (kills the use_res/'df' XLA gather)
-    fi_ref[0] = _oh_matmul(oh_q, f_hi, f_mid, f_lo)
+    fi_ref[0] = _oh_matmul(oh_q, fx_hi, fx_mid, fx_lo)[:, 3:]
     BIG = jnp.int32(2 ** 30)
-
-    # pack the three splits of [xyz | feats] into one wide bf16 operand so the
-    # per-k gather is a single MXU matmul with well-filled output columns
-    fcat = jnp.concatenate(
-        [x_hi, f_hi, x_mid, f_mid, x_lo, f_lo], axis=1)  # (N, 3w)
 
     def body(k, first_idx):
         mask = mask_scr[:]
@@ -117,17 +109,14 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
         mask_scr[:] = mask & (lane != val)
         idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
         oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
-        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)  # (TM,3w)
-        g = r[:, :w] + r[:, w:2 * w] + r[:, 2 * w:3 * w]  # (TM,w)
-        g_xyz = g[:, :3]
-        g_f = g[:, 3:]
-        dp = g_xyz
+        g = _oh_matmul(oh, fx_hi, fx_mid, fx_lo)  # (TM, w)
+        dp = g[:, :3]
         if relative:
             dp = dp - q
             if normalize_dp:
                 dp = dp / radius
         dp_ref[0, pl.ds(k, 1), :, :] = dp[None]
-        fj_ref[0, pl.ds(k, 1), :, :] = g_f[None]
+        fj_ref[0, pl.ds(k, 1), :, :] = g[:, 3:][None]
         return first_idx
 
     lax.fori_loop(0, K, body, jnp.zeros((tm, 1), jnp.int32))
@@ -135,59 +124,47 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
 
 
 def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
-                g_xyz_ref, g_feat_ref, *, radius: float, nsample: int,
+                g_fx_ref, *, radius: float, nsample: int,
                 relative: bool, normalize_dp: bool):
-    # grid (B, M//TM): out blocks are per-b, revisited across t (accumulate).
-    # idx (1,TM,K) i32; qidx (1,1,TM) i32; g_new (1,TM,3);
-    # g_dp (1,K,TM,3); g_fj (1,K,TM,C); outs: g_xyz (1,N,3), g_feat (1,N,C)
+    # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
+    # idx (1,TM,K) i32; qidx (1,1,TM) i32; g_new (1,TM,3); g_fi (1,TM,C);
+    # g_dp (1,K,TM,3); g_fj (1,K,TM,C); out: g_fx (1,N,3+C) packed
     K = nsample
     tm = idx_ref.shape[1]
-    n_pad = g_xyz_ref.shape[1]
+    n_pad = g_fx_ref.shape[1]
     scale = 1.0 / radius if (relative and normalize_dp) else 1.0
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        g_xyz_ref[0] = jnp.zeros_like(g_xyz_ref[0])
-        g_feat_ref[0] = jnp.zeros_like(g_feat_ref[0])
+        g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
-    c = g_feat_ref.shape[-1]
-    w = 3 + c
 
-    # d(newxyz)/d(xyz) and d(fi)/d(feats): scatter to query rows
-    acc_xyz = _oh_matmul(oh_q.T, *_split3(g_new_ref[0]))
-    acc_fi = _oh_matmul(oh_q.T, *_split3(g_fi_ref[0]))
-    # packed accumulator (N, 3w): one matmul per k, groups summed at the end
-    acc_cat = jnp.zeros((n_pad, 3 * w), jnp.float32)
+    acc = jnp.zeros_like(g_fx_ref[0])  # (N, w)
     gdp_sum = jnp.zeros((tm, 3), jnp.float32)
 
     def k_body(k, carry):
-        acc_cat, gdp_sum = carry
+        acc, gdp_sum = carry
         # extract column k of idx without a dynamic lane index
         sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
         ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
         gdp = g_dp_ref[0, pl.ds(k, 1), :, :][0] * scale  # (TM,3)
         gfj = g_fj_ref[0, pl.ds(k, 1), :, :][0]  # (TM,C)
         gcat = jnp.concatenate([gdp, gfj], axis=1)  # (TM, w)
-        g_hi, g_mid, g_lo = _split3(gcat)
-        gwide = jnp.concatenate([g_hi, g_mid, g_lo], axis=1)  # (TM, 3w) bf16
-        acc_cat += jnp.dot(ohT, gwide, preferred_element_type=jnp.float32)
+        acc += _oh_matmul(ohT, *_split3(gcat))
         if relative:
             gdp_sum = gdp_sum + gdp
-        return acc_cat, gdp_sum
+        return acc, gdp_sum
 
-    acc_cat, gdp_sum = lax.fori_loop(0, K, k_body, (acc_cat, gdp_sum))
-    acc = acc_cat[:, :w] + acc_cat[:, w:2 * w] + acc_cat[:, 2 * w:3 * w]
-    acc_xyz = acc_xyz + acc[:, :3]
-    acc_feat = acc_fi + acc[:, 3:]
-    if relative:
-        # dp = g_xyz - q: each dp contributes -1 to its query row
-        acc_xyz -= _oh_matmul(oh_q.T, *_split3(gdp_sum))
-    g_xyz_ref[0] = g_xyz_ref[0] + acc_xyz
-    g_feat_ref[0] = g_feat_ref[0] + acc_feat
+    acc, gdp_sum = lax.fori_loop(0, K, k_body, (acc, gdp_sum))
+    # query-row contributions: d(newxyz) (+ -sum_k gdp if relative) and d(fi)
+    gq_xyz = g_new_ref[0] - gdp_sum if relative else g_new_ref[0]
+    gq = jnp.concatenate([gq_xyz, g_fi_ref[0]], axis=1)  # (TM, w)
+    acc += _oh_matmul(oh_q.T, *_split3(gq))
+    g_fx_ref[0] = g_fx_ref[0] + acc
 
 
 def _pick_tm(m: int, n_pad: int, c_pad: int, k: int) -> int:
@@ -225,9 +202,10 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
     tm = _pick_tm(M, n_pad, c_pad, K)
+    fx = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
-        feats = jnp.pad(feats, ((0, 0), (0, n_pad - N), (0, 0)))
+        fx = jnp.pad(fx, ((0, 0), (0, n_pad - N), (0, 0)))
 
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N,
@@ -240,7 +218,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tm), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_pad, C + 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -264,7 +242,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         ),
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
-    )(xyz, query_idx.astype(jnp.int32)[:, None, :], feats)
+    )(xyz, query_idx.astype(jnp.int32)[:, None, :], fx)
     return new_xyz, fi, dp, fj, idx
 
 
@@ -288,7 +266,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
         normalize_dp=normalize_dp)
-    g_xyz, g_feat = pl.pallas_call(
+    g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),
         in_specs=[
@@ -305,19 +283,11 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
             pl.BlockSpec((1, K, tm, c), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            # per-b blocks revisited across t: grid-accumulation pattern
-            pl.BlockSpec((1, n_pad, 3), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, c), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, 3), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
     )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dp, g_fj)
-    return g_xyz[:, :n], None, g_feat[:, :n]
+    return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
 
 ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)

@@ -72,3 +72,15 @@ def test_basecls_with_pointnet2(inputs):
     v = model.init(jax.random.PRNGKey(0), pos, x, training=False)
     out = model.apply(v, pos, x, training=False)
     assert out.shape == (2, 15)
+
+
+def test_pointvit(inputs):
+    pos, x = inputs
+    enc = MODELS.build({"NAME": "PointViT", "in_channels": 4,
+                        "embed_dim": 32, "depth": 2, "num_heads": 4,
+                        "num_groups": 16, "group_size": 8})
+    assert enc.out_channels == 64
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 64)
