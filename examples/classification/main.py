@@ -67,6 +67,9 @@ def main():
     elif mode in ("scanobjectnnc", "modelnetc"):
         from adaptpoint_tpu.engine.corrupt_main import main as run
         run(cfg)
+    elif mode == "pretrain":
+        from adaptpoint_tpu.engine.pretrain_main import main as run
+        run(cfg)
     else:
         raise ValueError(f"unknown mode {mode}")
 
