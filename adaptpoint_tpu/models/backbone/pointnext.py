@@ -23,18 +23,20 @@ from ...ops import (ball_group, furthest_point_sample, index_points,
                     three_interpolation)
 
 
-def _aggregation_features_kfirst(p, dp, fi, fj, feature_type):
-    """get_aggregation_features for the fused (B,K,M,*) neighbor-first layout
-    (parity: group.py:323-335; pool over axis 1 downstream)."""
+def _aggregation_features_kfirst(p, dpfj, fi, feature_type):
+    """get_aggregation_features for the fused (B,K,M,3+C) neighbor-first
+    layout (parity: group.py:323-335; pool over axis 1 downstream). The fused
+    kernel already emits [dp || fj], so dp_fj is a no-op."""
     if feature_type == "dp_fj":
-        return jnp.concatenate([dp, fj], axis=-1)
+        return dpfj
+    dp, fj = dpfj[..., :3], dpfj[..., 3:]
     if feature_type in ("dp_fj_df", "dp_fi_df"):
         df = fj - fi[:, None, :, :]
-        return jnp.concatenate([dp, fj, df], axis=-1)
+        return jnp.concatenate([dpfj, df], axis=-1)
     if feature_type == "pi_dp_fj_df":
         df = fj - fi[:, None, :, :]
         pi = jnp.broadcast_to(p[:, None, :, :], dp.shape)
-        return jnp.concatenate([pi, dp, fj, df], axis=-1)
+        return jnp.concatenate([pi, dpfj, df], axis=-1)
     if feature_type == "dp_df":
         df = fj - fi[:, None, :, :]
         return jnp.concatenate([dp, df], axis=-1)
@@ -77,12 +79,12 @@ class LocalAggregation(nn.Module):
             # fused path: query == support, identity query indices
             qidx = jnp.broadcast_to(
                 jnp.arange(p.shape[1], dtype=jnp.int32)[None], p.shape[:2])
-            _, fi, dp, fj, _ = ball_group(
+            _, fi, dpfj, _ = ball_group(
                 float(group_args.get("radius", 0.1)),
                 int(group_args.get("nsample", 16)), p, qidx, f,
                 relative=group_args.get("relative_xyz", True),
                 normalize_dp=group_args.get("normalize_dp", False))
-            x = _aggregation_features_kfirst(p, dp, fi, fj, self.feature_type)
+            x = _aggregation_features_kfirst(p, dpfj, fi, self.feature_type)
             pool_axis = 1
         else:
             grouper = create_grouper(group_args)
@@ -142,12 +144,12 @@ class SetAbstraction(nn.Module):
         if use_fused:
             npoint = p.shape[1] // self.stride
             idx = furthest_point_sample(p, npoint)
-            new_p, fi, dp, fj, _ = ball_group(
+            new_p, fi, dpfj, _ = ball_group(
                 float(group_args.get("radius", 0.1)),
                 int(group_args.get("nsample", 16)), p, idx, f,
                 relative=group_args.get("relative_xyz", True),
                 normalize_dp=group_args.get("normalize_dp", False))
-            x = _aggregation_features_kfirst(new_p, dp, fi, fj,
+            x = _aggregation_features_kfirst(new_p, dpfj, fi,
                                              self.feature_type)
             pool_axis = 1
         else:

@@ -75,15 +75,15 @@ def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
         if normalize_dp:
             dp = dp / radius
     fj = index_points(feats, idx)
-    return (new_xyz, fi, jnp.transpose(dp, (0, 2, 1, 3)),
-            jnp.transpose(fj, (0, 2, 1, 3)), idx)
+    dpfj = jnp.concatenate([dp, fj], axis=-1)
+    return new_xyz, fi, jnp.transpose(dpfj, (0, 2, 1, 3)), idx
 
 
 def ball_group(radius, nsample, xyz, query_idx, feats,
                relative=True, normalize_dp=False):
     """Fused center-gather + ball query + neighborhood grouping.
 
-    Returns (new_xyz (B,M,3), fi (B,M,C), dp (B,K,M,3), fj (B,K,M,C),
+    Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) fused [dp || fj],
     idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
     bit-identical outputs.
     """

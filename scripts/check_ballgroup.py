@@ -26,8 +26,9 @@ def xla_ref(xyz, qidx, feats):
     idx = ball_query(R, K, xyz, new_xyz)
     dp = (index_points(xyz, idx) - new_xyz[:, :, None, :]) / R
     fj = index_points(feats, idx)
+    dpfj = jnp.concatenate([dp, fj], -1)
     # match the pallas K-leading layout (B,K,M,*)
-    return new_xyz, dp.transpose(0, 2, 1, 3), fj.transpose(0, 2, 1, 3), idx
+    return new_xyz, dpfj.transpose(0, 2, 1, 3), idx
 
 
 def timeit(name, fn, *args, iters=20):
@@ -56,7 +57,7 @@ def main():
         fi_err = np.max(np.abs(np.asarray(fi_ref) - np.asarray(got[1])))
         print(f"  fi: maxerr={fi_err:.2e}")
         got = (got[0],) + got[2:]
-        names = ["new_xyz", "dp", "fj", "idx"]
+        names = ["new_xyz", "dpfj", "idx"]
         print(f"B={B} N={N} M={M} C={C}:", flush=True)
         for nm, r, g in zip(names, ref, got):
             r, g = np.asarray(r), np.asarray(g)
@@ -69,13 +70,15 @@ def main():
 
         # bwd exactness vs XLA autodiff
         def loss_xla(x, f):
-            nx, dp, fj, _ = xla_ref(x, qidx, f)
+            nx, dpfj, _ = xla_ref(x, qidx, f)
+            dp, fj = dpfj[..., :3], dpfj[..., 3:]
             fi = index_points(f, qidx)
             return (jnp.sum(nx ** 2) + jnp.sum(dp * dp) +
                     jnp.sum(jnp.sin(fj)) + jnp.sum(fi * 0.5))
 
         def loss_pl(x, f):
-            nx, fi, dp, fj, _ = ball_group_pallas(R, K, x, qidx, f, True, True)
+            nx, fi, dpfj, _ = ball_group_pallas(R, K, x, qidx, f, True, True)
+            dp, fj = dpfj[..., :3], dpfj[..., 3:]
             return (jnp.sum(nx ** 2) + jnp.sum(dp * dp) +
                     jnp.sum(jnp.sin(fj)) + jnp.sum(fi * 0.5))
 

@@ -84,3 +84,14 @@ def test_pointvit(inputs):
                  method="forward_cls_feat")
     out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 64)
+
+
+def test_deepgcn(inputs):
+    pos, x = inputs
+    enc = MODELS.build({"NAME": "DeepGCN", "in_channels": 4, "channels": 8,
+                        "emb_dims": 32, "n_blocks": 4, "k": 6})
+    assert enc.out_channels == 64
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 64)
