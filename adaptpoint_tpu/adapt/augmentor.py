@@ -29,8 +29,8 @@ from flax import linen as nn
 from .build import ADAPTMODELS
 from .common import pointwolf_transform
 from ..models.layers.blocks import torch_linear_init
-from ..ops import (ball_query, furthest_point_sample, index_points, knn_point,
-                   three_interpolation)
+from ..ops import (ball_group, ball_query, furthest_point_sample,
+                   index_points, knn_point, three_interpolation)
 
 
 def gumbel_softmax(rng, logits: jnp.ndarray, tau: float = 1.0,
@@ -78,18 +78,19 @@ class PointsetGrouper(nn.Module):
         # xyz (B,N,3), points (B,N,C) -> new_xyz (B,N/r,3), new (B,N/r,C)
         npoint = xyz.shape[1] // self.reduce
         fps_idx = furthest_point_sample(xyz, npoint)
-        new_xyz = index_points(xyz, fps_idx)
-        new_points = index_points(points, fps_idx)
-
-        idx = ball_query(self.radius, self.kneighbors, xyz, new_xyz)
-        grouped = index_points(points, idx)  # (B,np,k,C)
+        # fused kernel: centers + center feats + grouped feats in one pass
+        new_xyz, new_points, dpfj, _ = ball_group(
+            self.radius, self.kneighbors, xyz, fps_idx, points,
+            relative=False)
+        grouped = dpfj[..., 3:]  # (B,K,np,C) neighbor-first
 
         alpha = self.param("affine_alpha", nn.initializers.ones,
                            (1, 1, 1, self.channels))
         beta = self.param("affine_beta", nn.initializers.zeros,
                           (1, 1, 1, self.channels))
-        grouped = (grouped - new_points[:, :, None, :]) * alpha + beta
-        return new_xyz, jnp.max(grouped, axis=2)
+        # anchor normalization over the K axis (generator_component4_15.py:419-430)
+        grouped = (grouped - new_points[:, None, :, :]) * alpha + beta
+        return new_xyz, jnp.max(grouped, axis=1)
 
 
 class AnchorSelfAttention(nn.Module):
