@@ -25,7 +25,7 @@ from flax.core import FrozenDict
 from ..loss import build_criterion_from_cfg
 from ..metricslog import Summary
 from ..models import build_model_from_cfg
-from ..ops import furthest_point_sample, index_points
+from ..ops import furthest_point_sample, gather_rows, index_points
 from ..optim import build_optimizer_from_cfg
 from ..parallel import get_mesh, shard_batch, replicate
 from ..scheduler import build_scheduler_from_cfg
@@ -62,7 +62,7 @@ def resample_points(rng, points: jnp.ndarray, npoints: int) -> jnp.ndarray:
     idx = furthest_point_sample(points[..., :3], point_all)  # (B, point_all)
     cols = jax.random.choice(rng, point_all, (npoints,), replace=False)
     idx = idx[:, cols]
-    return index_points(points, idx)
+    return gather_rows(points, idx)
 
 
 def build_train_tools(cfg, model, params_like=None):

@@ -27,7 +27,7 @@ from .pallas.ballgroup import ball_group_pallas
 __all__ = [
     "square_distance", "furthest_point_sample", "random_sample", "ball_query",
     "knn_point", "three_nn", "three_interpolate", "three_interpolation",
-    "index_points", "gather_index", "fps",
+    "index_points", "gather_index", "fps", "ball_group", "gather_rows",
 ]
 
 
@@ -56,10 +56,20 @@ ball_query = ball_query_xla
 three_nn = three_nn_xla
 
 
+def gather_rows(points, idx):
+    """Exact (B,M,C) row gather of (B,N,C) by (B,M) — Pallas one-hot matmul
+    on TPU, take_along_axis elsewhere."""
+    if _use_pallas() and points.ndim == 3 and idx.ndim == 2 \
+            and points.dtype == jnp.float32:
+        from .pallas.gather import gather_rows_pallas
+        return gather_rows_pallas(points, idx)
+    return index_points(points, idx)
+
+
 def fps(data, number: int):
     """FPS + gather, parity with models/layers/subsample.py:148-156 `fps`."""
     idx = furthest_point_sample(data[..., :3], number)
-    return index_points(data, idx)
+    return gather_rows(data, idx)
 
 
 def _ball_group_xla(radius, nsample, xyz, query_idx, feats,

@@ -1,0 +1,109 @@
+"""Row gather as one-hot MXU matmuls — Pallas TPU kernel with custom VJP.
+
+XLA's take_along_axis row gather runs at ~10GB/s effective on TPU; this
+kernel rebuilds it as (M-tile, N) one-hot x (N, C) matmuls with the exact
+3-way bf16 split (bit-identical to the XLA gather; see ballgroup.py).
+Used for the FPS point-budget resampling gather in the train step
+(parity: train_autoaug.py:493-498).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ballgroup import _oh_matmul, _round_up, _split3
+
+__all__ = ["gather_rows_pallas"]
+
+
+def _fwd_kernel(pts_ref, idx_ref, out_ref):
+    # pts (1,N,C) f32 | idx (1,1,TM) i32 | out (1,TM,C)
+    _, n_pad, _ = pts_ref.shape
+    tm = idx_ref.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    oh = (lane == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
+    out_ref[0] = _oh_matmul(oh, *_split3(pts_ref[0]))
+
+
+def _bwd_kernel(idx_ref, g_ref, out_ref):
+    # grid (B, M//TM); out (1,N,C) accumulated across t
+    _, n_pad, _ = out_ref.shape
+    tm = idx_ref.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    ohT = (lane == idx_ref[0, 0][:, None]).astype(jnp.bfloat16).T
+    out_ref[0] = out_ref[0] + _oh_matmul(ohT, *_split3(g_ref[0]))
+
+
+def _pick_tm(m: int, n_pad: int, c_pad: int) -> int:
+    tm = 512
+    while tm > 8 and (tm * n_pad * 4 + 2 * tm * c_pad * 4) > 8 * 1024 * 1024:
+        tm //= 2
+    while m % tm != 0 and tm > 1:
+        tm //= 2
+    return max(tm, 1)
+
+
+@jax.custom_vjp
+def gather_rows_pallas(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points (B,N,C) f32, idx (B,M) int -> (B,M,C), exact."""
+    return _call_fwd(points, idx)
+
+
+def _call_fwd(points, idx):
+    B, N, C = points.shape
+    M = idx.shape[1]
+    n_pad = _round_up(N, 128)
+    tm = _pick_tm(M, n_pad, _round_up(C, 128))
+    if n_pad != N:
+        points = jnp.pad(points, ((0, 0), (0, n_pad - N), (0, 0)))
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+    )(points, idx.astype(jnp.int32)[:, None, :])
+
+
+def _fwd(points, idx):
+    return _call_fwd(points, idx), (points.shape, idx)
+
+
+def _bwd(res, g):
+    (b, n, c), idx = res
+    M = idx.shape[1]
+    n_pad = _round_up(n, 128)
+    tm = _pick_tm(M, n_pad, _round_up(c, 128))
+    g_pts = pl.pallas_call(
+        _bwd_kernel,
+        grid=(b, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, c), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+    )(idx.astype(jnp.int32)[:, None, :], g)
+    return g_pts[:, :n], None
+
+
+gather_rows_pallas.defvjp(_fwd, _bwd)
