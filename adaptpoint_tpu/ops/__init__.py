@@ -98,7 +98,9 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     bit-identical outputs.
     """
     if _use_pallas():
-        return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
-                                 relative, normalize_dp)
+        import jax.numpy as jnp
+        new_xyz, fi, dp, fj, idx = ball_group_pallas(
+            radius, nsample, xyz, query_idx, feats, relative, normalize_dp)
+        return new_xyz, fi, jnp.concatenate([dp, fj], axis=-1), idx
     return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                            relative, normalize_dp)

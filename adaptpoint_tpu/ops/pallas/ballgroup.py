@@ -56,13 +56,13 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
-def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dpfj_ref,
-                idx_ref, mask_scr, idxacc_scr, *, radius: float,
+def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
+                fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
                 nsample: int, n_real: int, relative: bool,
                 normalize_dp: bool):
-    # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32 | feat_ref (1,N,3+C) packed
-    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats,
-    #       dpfj (1,K,TM,3+C) fused [dp || fj], idx (1,TM,K)
+    # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32 | feat_ref (1,N,C) f32
+    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats, dp (1,K,TM,3),
+    #       fj (1,K,TM,C), idx (1,TM,K)
     _, n_pad, _ = xyz_ref.shape
     tm = qidx_ref.shape[-1]
     K = nsample
@@ -110,24 +110,25 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dpfj_ref,
         idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
         oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
         g = _oh_matmul(oh, fx_hi, fx_mid, fx_lo)  # (TM, w)
+        dp = g[:, :3]
         if relative:
-            dp = g[:, :3] - q
+            dp = dp - q
             if normalize_dp:
                 dp = dp / radius
-            g = jnp.concatenate([dp, g[:, 3:]], axis=1)
-        dpfj_ref[0, pl.ds(k, 1), :, :] = g[None]
+        dp_ref[0, pl.ds(k, 1), :, :] = dp[None]
+        fj_ref[0, pl.ds(k, 1), :, :] = g[:, 3:][None]
         return first_idx
 
     lax.fori_loop(0, K, body, jnp.zeros((tm, 1), jnp.int32))
     idx_ref[0] = idxacc_scr[:]
 
 
-def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
+def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
                 g_fx_ref, *, radius: float, nsample: int,
                 relative: bool, normalize_dp: bool):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
     # idx (1,TM,K) i32; qidx (1,1,TM) i32; g_new (1,TM,3); g_fi (1,TM,C);
-    # g_dpfj (1,K,TM,3+C); out: g_fx (1,N,3+C) packed
+    # g_dp (1,K,TM,3); g_fj (1,K,TM,C); out: g_fx (1,N,3+C) packed
     K = nsample
     tm = idx_ref.shape[1]
     n_pad = g_fx_ref.shape[1]
@@ -150,12 +151,12 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
         # extract column k of idx without a dynamic lane index
         sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
         ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
-        gcat = g_dpfj_ref[0, pl.ds(k, 1), :, :][0]  # (TM, w)
-        if scale != 1.0:
-            gcat = jnp.concatenate([gcat[:, :3] * scale, gcat[:, 3:]], axis=1)
+        gdp = g_dp_ref[0, pl.ds(k, 1), :, :][0] * scale  # (TM,3)
+        gfj = g_fj_ref[0, pl.ds(k, 1), :, :][0]  # (TM,C)
+        gcat = jnp.concatenate([gdp, gfj], axis=1)  # (TM, w)
         acc += _oh_matmul(ohT, *_split3(gcat))
         if relative:
-            gdp_sum = gdp_sum + gcat[:, :3]
+            gdp_sum = gdp_sum + gdp
         return acc, gdp_sum
 
     acc, gdp_sum = lax.fori_loop(0, K, k_body, (acc, gdp_sum))
@@ -167,9 +168,9 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
 
 
 def _pick_tm(m: int, n_pad: int, c_pad: int, k: int) -> int:
-    # keep (oh/d2/mask (tm,n) + double-buffered out tile (k,tm,c_pad)) in VMEM
+    # keep (oh/d2 (tm,n) + out tiles (k,tm,c)) within a few MB of VMEM
     tm = 256
-    while tm > 8 and (tm * n_pad * 12 + 2 * k * tm * c_pad * 4) > 11 * 1024 * 1024:
+    while tm > 8 and (tm * n_pad * 12 + k * tm * c_pad * 4) > 6 * 1024 * 1024:
         tm //= 2
     while m % tm != 0 and tm > 1:
         tm //= 2
@@ -184,8 +185,8 @@ def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
 
     xyz (B,N,3) f32; query_idx (B,M) int32 (support-point indices of the
     query centers); feats (B,N,C) f32.
-    Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) fused [dp || fj],
-    idx (B,M,K) i32) — dpfj carries the neighbor axis at dim 1 (pool there).
+    Returns (new_xyz (B,M,3), fi (B,M,C), dp (B,K,M,3), fj (B,K,M,C),
+    idx (B,M,K) i32) — dp/fj carry the neighbor axis at dim 1 (pool there).
     """
     out, _ = _ball_group_fwd(radius, nsample, xyz, query_idx, feats,
                              relative, normalize_dp)
@@ -209,7 +210,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N,
         relative=relative, normalize_dp=normalize_dp)
-    new_xyz, fi, dpfj, idx = pl.pallas_call(
+    new_xyz, fi, dp, fj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
         in_specs=[
@@ -225,7 +226,9 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, C + 3), lambda b, t: (b, 0, t, 0),
+            pl.BlockSpec((1, K, tm, 3), lambda b, t: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, tm, C), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, K), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -233,27 +236,28 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         out_shape=(
             jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, M, C + 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, M, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, M, C), jnp.float32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
     )(xyz, query_idx.astype(jnp.int32)[:, None, :], fx)
-    return new_xyz, fi, dpfj, idx
+    return new_xyz, fi, dp, fj, idx
 
 
 def _ball_group_fwd(radius, nsample, xyz, query_idx, feats, relative,
                     normalize_dp):
     out = _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                            normalize_dp)
-    new_xyz, fi, dpfj, idx = out
+    new_xyz, fi, dp, fj, idx = out
     res = (xyz.shape, feats.shape[-1], query_idx, idx)
     return out, res
 
 
 def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     (b, n, _), c, query_idx, idx = res
-    g_new, g_fi, g_dpfj, _ = grads
+    g_new, g_fi, g_dp, g_fj, _ = grads
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
@@ -274,13 +278,15 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, c + 3), lambda i, t: (i, 0, t, 0),
+            pl.BlockSpec((1, K, tm, 3), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, tm, c), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
-    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dpfj)
+    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dp, g_fj)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
 
