@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -98,6 +99,55 @@ class BCELoss:
         p = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
         t = targets.astype(p.dtype)
         return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+
+
+@LOSS.register_module(name="MaskedCrossEntropy")
+class MaskedCrossEntropy:
+    """CE over masked points (parity: loss/build.py MaskedCrossEntropy)."""
+
+    def __init__(self, label_smoothing: float = 0.2, **kwargs):
+        self.ce = SmoothCrossEntropy(label_smoothing=label_smoothing)
+
+    def __call__(self, logits, labels, mask):
+        per = self.ce.per_sample(logits.reshape(-1, logits.shape[-1]),
+                                 labels.reshape(-1))
+        m = mask.reshape(-1).astype(per.dtype)
+        return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+@LOSS.register_module(name="FocalLoss")
+class FocalLoss:
+    """Binary focal loss (parity: loss/build.py FocalLoss)."""
+
+    def __init__(self, gamma: float = 2.0, alpha: float = 0.25, **kwargs):
+        self.gamma = gamma
+        self.alpha = alpha
+
+    def __call__(self, logits, labels):
+        p = jax.nn.sigmoid(logits)
+        t = labels.astype(p.dtype)
+        ce = -(t * jnp.log(jnp.clip(p, 1e-7)) +
+               (1 - t) * jnp.log(jnp.clip(1 - p, 1e-7)))
+        p_t = p * t + (1 - p) * (1 - t)
+        a_t = self.alpha * t + (1 - self.alpha) * (1 - t)
+        return jnp.mean(a_t * (1 - p_t) ** self.gamma * ce)
+
+
+@LOSS.register_module(name="Poly1CrossEntropyLoss")
+class Poly1CrossEntropy:
+    """Poly-1 CE (parity: loss/build.py Poly1CrossEntropyLoss)."""
+
+    def __init__(self, epsilon: float = 1.0, label_smoothing: float = 0.0,
+                 **kwargs):
+        self.eps = epsilon
+        self.ce = SmoothCrossEntropy(label_smoothing=label_smoothing)
+
+    def __call__(self, logits, labels):
+        labels_f = labels.reshape(-1)
+        logits_f = logits.reshape(-1, logits.shape[-1])
+        probs = jax.nn.softmax(logits_f, axis=-1)
+        pt = jnp.take_along_axis(probs, labels_f[:, None], axis=-1)[:, 0]
+        return self.ce(logits_f, labels_f) + self.eps * jnp.mean(1.0 - pt)
 
 
 def build_criterion_from_cfg(cfg, **default_args):
