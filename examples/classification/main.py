@@ -41,7 +41,8 @@ def main():
     cfg.cfg_basename = os.path.splitext(os.path.basename(args.cfg))[0]
     tags = [cfg.task_name, cfg.cfg_basename, f"ngpus{len(__import__('jax').devices())}"]
     for opt in opts:
-        if "=" in opt and "path" not in opt:
+        if "=" in opt and "path" not in opt and "dir" not in opt \
+                and "/" not in opt:
             tags.append(opt.replace("=", "_"))
     cfg.exp_name = "-".join(tags)
 
