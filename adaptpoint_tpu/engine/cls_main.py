@@ -29,6 +29,27 @@ from .cls_trainer import (TrainState, build_train_tools, init_state,
 __all__ = ["main", "print_cls_results"]
 
 
+def write_to_csv(oa, macc, accs, best_epoch, cfg, write_header=True):
+    """Append final results to <run>.csv
+    (parity: train_autoaug.py:50-61 write_to_csv)."""
+    import csv
+    if not cfg.get("csv_path"):
+        return
+    classes = cfg.get("classes") or [str(i) for i in range(cfg.num_classes)]
+    header = ["method", "OA", "mAcc"] + list(classes) + ["best_epoch",
+                                                         "log_path"]
+    row = ([cfg.get("exp_name", cfg.get("run_name", "-")), f"{oa:.3f}",
+            f"{macc:.2f}"] + [f"{a:.2f}" for a in accs]
+           + [str(best_epoch), cfg.get("run_dir", "-")])
+    import os as _os
+    new = not _os.path.exists(cfg.csv_path)
+    with open(cfg.csv_path, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header and new:
+            w.writerow(header)
+        w.writerow(row)
+
+
 def print_cls_results(oa, macc, accs, epoch, cfg):
     s = "\nClasses\tAcc\n"
     classes = cfg.get("classes") or [str(i) for i in range(cfg.num_classes)]
@@ -142,6 +163,7 @@ def main(cfg) -> Optional[float]:
     # final: test last, then best (train.py:306-319)
     test_macc, test_oa, test_accs, _ = validate(eval_step, state, test_loader, mesh, cfg)
     print_cls_results(test_oa, test_macc, test_accs, cfg.epochs, cfg)
+    write_to_csv(test_oa, test_macc, test_accs, best_epoch, cfg)
     if cfg.get("run_name"):
         best_path = os.path.join(cfg.ckpt_dir, f"{cfg.run_name}_ckpt_best.msgpack")
         if os.path.exists(best_path):

@@ -168,9 +168,17 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
 
 
 def _pick_tm(m: int, n_pad: int, c_pad: int, k: int) -> int:
-    # keep (oh/d2 (tm,n) + out tiles (k,tm,c)) within a few MB of VMEM
+    """Tile size fitting the 16MB scoped-VMEM limit.
+
+    Accounts for: oh bf16 + d2 f32 + mask (tm, n_pad); the dp and fj output
+    tiles are double-buffered and LANE-PADDED to 128 (dp's 3 and any C<128
+    still occupy 128 lanes in VMEM)."""
     tm = 256
-    while tm > 8 and (tm * n_pad * 12 + k * tm * c_pad * 4) > 6 * 1024 * 1024:
+    while tm > 8:
+        work = tm * n_pad * 12
+        out_tiles = 2 * (k * tm * 128 * 4 + k * tm * c_pad * 4)
+        if work + out_tiles <= 11 * 1024 * 1024:
+            break
         tm //= 2
     while m % tm != 0 and tm > 1:
         tm //= 2

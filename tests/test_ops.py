@@ -140,3 +140,35 @@ def test_fps_pallas_matches_xla_on_tpu(cloud):
     got = np.asarray(furthest_point_sample_pallas(jnp.array(cloud), 16))
     ref = np.asarray(furthest_point_sample_xla(jnp.array(cloud), 16))
     assert (got == ref).all()
+
+
+def test_ball_group_composite_semantics(cloud):
+    """ball_group (XLA fallback on CPU) == its individual-op composition."""
+    from adaptpoint_tpu.ops import ball_group
+    feats = jnp.array(cloud[:, :, :1].repeat(8, axis=2))
+    qidx = furthest_point_sample(jnp.array(cloud), 16)
+    new_xyz, fi, dpfj, idx = ball_group(0.8, 8, jnp.array(cloud), qidx, feats,
+                                        relative=True, normalize_dp=True)
+    assert new_xyz.shape == (4, 16, 3)
+    assert fi.shape == (4, 16, 8)
+    assert dpfj.shape == (4, 8, 16, 11)  # (B, K, M, 3+C)
+    assert idx.shape == (4, 16, 8)
+    # cross-check against the separate ops
+    ref_new = index_points(jnp.array(cloud), qidx)
+    ref_idx = ball_query(0.8, 8, jnp.array(cloud), ref_new)
+    assert (np.asarray(idx) == np.asarray(ref_idx)).all()
+    ref_dp = (index_points(jnp.array(cloud), ref_idx)
+              - ref_new[:, :, None, :]) / 0.8
+    assert np.allclose(np.asarray(dpfj[..., :3]),
+                       np.asarray(ref_dp).transpose(0, 2, 1, 3), atol=1e-6)
+    ref_fj = index_points(feats, ref_idx)
+    assert np.allclose(np.asarray(dpfj[..., 3:]),
+                       np.asarray(ref_fj).transpose(0, 2, 1, 3), atol=1e-6)
+
+
+def test_gather_rows_fallback(cloud):
+    from adaptpoint_tpu.ops import gather_rows
+    idx = jnp.array([[0, 5, 7], [1, 2, 3], [4, 4, 4], [0, 0, 1]], jnp.int32)
+    out = gather_rows(jnp.array(cloud), idx)
+    ref = index_points(jnp.array(cloud), idx)
+    assert np.allclose(np.asarray(out), np.asarray(ref))
