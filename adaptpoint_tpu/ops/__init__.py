@@ -44,7 +44,13 @@ def _use_pallas() -> bool:
 
 
 def furthest_point_sample(xyz, npoint: int):
-    """FPS dispatch (see geometry.furthest_point_sample_xla for semantics)."""
+    """FPS dispatch (see geometry.furthest_point_sample_xla for semantics).
+
+    Index outputs carry no gradient (reference FurthestPointSampling.backward
+    returns None, subsample.py:100-102); stop_gradient keeps JAX AD from
+    attempting a JVP of the Pallas call."""
+    import jax
+    xyz = jax.lax.stop_gradient(xyz)
     if _use_pallas():
         return furthest_point_sample_pallas(xyz, npoint)
     return furthest_point_sample_xla(xyz, npoint)
