@@ -56,11 +56,14 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
-def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
+def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
                 fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
-                nsample: int, n_real: int, relative: bool,
+                nsample: int, n_real: int, w: int, relative: bool,
                 normalize_dp: bool):
-    # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32 | feat_ref (1,N,C) f32
+    # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32
+    # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
+    # (packed in XLA behind optimization_barriers so each per-k gather is ONE
+    #  well-filled MXU matmul instead of three narrow ones)
     # outs: newxyz (1,TM,3), fi (1,TM,C) center feats, dp (1,K,TM,3),
     #       fj (1,K,TM,C), idx (1,TM,K)
     _, n_pad, _ = xyz_ref.shape
@@ -92,10 +95,10 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
     mask_scr[:] = inball
     idxacc_scr[:] = jnp.zeros((tm, K), jnp.int32)
 
-    fx = feat_ref[0]  # (N, w) = [xyz | feats]
-    fx_hi, fx_mid, fx_lo = _split3(fx)
+    fcat = fcat_ref[0]  # (N, 3w) bf16
     # center features at the query indices (kills the use_res/'df' XLA gather)
-    fi_ref[0] = _oh_matmul(oh_q, fx_hi, fx_mid, fx_lo)[:, 3:]
+    rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
+    fi_ref[0] = (rq[:, :w] + rq[:, w:2 * w] + rq[:, 2 * w:3 * w])[:, 3:]
     BIG = jnp.int32(2 ** 30)
 
     def body(k, first_idx):
@@ -109,7 +112,8 @@ def _fwd_kernel(xyz_ref, qidx_ref, feat_ref, newxyz_ref, fi_ref, dp_ref,
         mask_scr[:] = mask & (lane != val)
         idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
         oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
-        g = _oh_matmul(oh, fx_hi, fx_mid, fx_lo)  # (TM, w)
+        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)  # (TM,3w)
+        g = r[:, :w] + r[:, w:2 * w] + r[:, 2 * w:3 * w]  # (TM, w) exact f32
         dp = g[:, :3]
         if relative:
             dp = dp - q
@@ -211,12 +215,21 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     c_pad = _round_up(C, 128)
     tm = _pick_tm(M, n_pad, c_pad, K)
     fx = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
+    # barrier each rounding step: XLA runs with allow_excess_precision and
+    # would otherwise fuse the bf16 casts away, breaking the exact 3-split
+    hi = jax.lax.optimization_barrier(fx.astype(jnp.bfloat16))
+    r1 = fx - hi.astype(jnp.float32)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = jax.lax.optimization_barrier(
+        (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
+    fcat = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, N, 3w) bf16
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
-        fx = jnp.pad(fx, ((0, 0), (0, n_pad - N), (0, 0)))
+        fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
 
+    w = C + 3
     kernel = functools.partial(
-        _fwd_kernel, radius=float(radius), nsample=K, n_real=N,
+        _fwd_kernel, radius=float(radius), nsample=K, n_real=N, w=w,
         relative=relative, normalize_dp=normalize_dp)
     new_xyz, fi, dp, fj, idx = pl.pallas_call(
         kernel,
@@ -226,7 +239,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tm), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, C + 3), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_pad, 3 * w), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -250,7 +263,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         ),
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
-    )(xyz, query_idx.astype(jnp.int32)[:, None, :], fx)
+    )(xyz, query_idx.astype(jnp.int32)[:, None, :], fcat)
     return new_xyz, fi, dp, fj, idx
 
 
