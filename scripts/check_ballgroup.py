@@ -16,7 +16,7 @@ import numpy as np
 
 from adaptpoint_tpu.ops import ball_query, index_points
 from adaptpoint_tpu.ops.pallas.fps import furthest_point_sample_pallas
-from adaptpoint_tpu.ops.pallas.ballgroup import ball_group_pallas
+from adaptpoint_tpu.ops import ball_group as ball_group_pallas
 
 R, K = 0.15, 32
 

@@ -95,3 +95,15 @@ def test_deepgcn(inputs):
                  method="forward_cls_feat")
     out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 64)
+
+
+def test_curvenet(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
+    cls0 = jnp.zeros((2,), jnp.int32)
+    m = MODELS.build({"NAME": "CurveNet", "num_classes": 50, "category": 16,
+                      "k": 8})
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "curve": jax.random.PRNGKey(1)}, pos, None, cls0,
+               training=False)
+    out = m.apply(v, pos, None, cls0, training=False)
+    assert out.shape == (2, 256, 50)
