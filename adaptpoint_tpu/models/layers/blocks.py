@@ -12,10 +12,22 @@ Conv/Linear default (kaiming-uniform with a=sqrt(5) == uniform(+-sqrt(1/fan_in))
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def compute_dtype():
+    """Computation dtype policy for pointwise blocks (params stay f32).
+
+    ``ADAPTPOINT_TPU_DTYPE=bfloat16`` runs the MLP/BN stack in bf16 (MXU
+    native); default float32.
+    """
+    return (jnp.bfloat16
+            if os.environ.get("ADAPTPOINT_TPU_DTYPE", "").lower()
+            in ("bf16", "bfloat16") else jnp.float32)
 
 __all__ = [
     "create_act", "ConvBlock", "LinearBlock", "CHANNEL_MAP", "torch_linear_init",
@@ -96,7 +108,8 @@ class NormAct(nn.Module):
             norm = self.norm_args["norm"].lower()
             if norm.startswith("bn"):
                 x = nn.BatchNorm(use_running_average=not training,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=compute_dtype())(x)
             elif norm.startswith("ln"):
                 x = nn.LayerNorm(epsilon=1e-5)(x)
             elif norm.startswith("in"):
@@ -127,6 +140,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x, training: bool = False):
         use_bias = self.bias and self.norm_args is None
         dense = nn.Dense(self.channels, use_bias=use_bias,
+                         dtype=compute_dtype(),
                          kernel_init=torch_linear_init)
         norm_act = NormAct(self.norm_args, self.act_args)
         if self.order == "conv-norm-act":
@@ -154,7 +168,7 @@ class LinearBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Dense(self.channels, use_bias=True,
+        x = nn.Dense(self.channels, use_bias=True, dtype=compute_dtype(),
                      kernel_init=torch_linear_init)(x)
         x = NormAct(self.norm_args, self.act_args)(x, training)
         if self.dropout > 0:
