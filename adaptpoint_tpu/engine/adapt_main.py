@@ -86,6 +86,11 @@ def main(cfg):
     generator, discriminator, tx_g, tx_d, gan_state = build_gan(
         cfg, example_cloud, gan_rng)
     gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, model, cfg)
+    fused = bool(cfg.get("adaptpoint_fused", False))
+    if fused:
+        from .adapt_trainer import make_fused_adapt_step
+        fused_step = make_fused_adapt_step(generator, discriminator, tx_g,
+                                           tx_d, model, tx, criterion, cfg)
 
     summary = Summary(cfg.get("run_dir"))
     params_cfg = cfg.adaptpoint_params
@@ -98,7 +103,29 @@ def main(cfg):
         lr = lr_fn(epoch - 1)
         rng, gan_erng, cls_erng = jax.random.split(rng, 3)
 
-        if epoch > adjust_epoch:
+        if epoch > adjust_epoch and fused:
+            # fused on-device variant: both phases in one jit step per batch
+            from ..utils import AverageMeter, ConfusionMatrix
+            from ..parallel import shard_batch
+            import numpy as np
+            hardratio = update_hardratio(params_cfg.hardratio_s,
+                                         params_cfg.hardratio, epoch,
+                                         cfg.epochs)
+            hr = jax.numpy.asarray(hardratio, jax.numpy.float32)
+            lr_dev = jax.numpy.asarray(lr, jax.numpy.float32)
+            loss_meter = AverageMeter()
+            cm = ConfusionMatrix(num_classes=cfg.num_classes)
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                y_host = batch["y"]
+                sb = shard_batch(mesh, batch)
+                gan_state, state, preds, metrics = fused_step(
+                    gan_state, state, sb, sub, hr, lr_dev)
+                cm.update(np.asarray(preds), y_host)
+                loss_meter.update(float(metrics["cls_loss"]))
+            train_loss = loss_meter.avg
+            train_macc, train_oa, _ = cm.all_acc()
+        elif epoch > adjust_epoch:
             # PHASE A: adversarial augmentor training on the real loader
             hardratio = update_hardratio(params_cfg.hardratio_s,
                                          params_cfg.hardratio, epoch, cfg.epochs)

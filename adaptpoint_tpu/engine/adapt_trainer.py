@@ -173,6 +173,54 @@ def _dump_fake_batch(cfg, epoch, i, gen_host, raw_host, label_host):
         f["label"] = label_host
 
 
+def make_fused_adapt_step(generator, discriminator, tx_g, tx_d, cls_model,
+                          cls_tx, cls_criterion, cfg):
+    """Single fused on-device step: G/D adversarial update + classifier
+    update on the freshly generated clouds — no host round-trip of the fake
+    buffer (the TPU-native alternative called out in SURVEY.md §3.2; enable
+    with cfg.adaptpoint_fused=True; the reference's stale-epoch-buffer
+    semantics remain the default)."""
+    from .cls_trainer import resample_points, set_lr
+
+    gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, cls_model,
+                             cfg)
+    npoints = int(cfg.num_points)
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+
+    @jax.jit
+    def fused_step(gan_state: GanState, cls_state, batch, rng, hardratio, lr):
+        r_gan, r_fps, r_drop = jax.random.split(rng, 3)
+        gan_state, gen, metrics = gan_step(gan_state, cls_state, batch, r_gan,
+                                           hardratio)
+        points = jnp.concatenate(
+            [jax.lax.stop_gradient(gen), batch["x"][..., 3:]], axis=-1)
+        points = resample_points(r_fps, points, npoints)
+        pos = points[..., :3]
+        x = points[..., :in_channels]
+        y = batch["y"]
+
+        def loss_fn(params):
+            logits, updates = cls_model.apply(
+                {"params": params, "batch_stats": cls_state.batch_stats},
+                pos, x, training=True, rngs={"dropout": r_drop},
+                mutable=["batch_stats"])
+            return cls_criterion(logits, y), (logits, updates["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(cls_state.params)
+        opt_state = set_lr(cls_state.opt_state, lr)
+        updates, opt_state = cls_tx.update(grads, opt_state, cls_state.params)
+        params = optax.apply_updates(cls_state.params, updates)
+        cls_state = cls_state.replace(params=params, batch_stats=new_bs,
+                                      opt_state=opt_state,
+                                      step=cls_state.step + 1)
+        metrics = dict(metrics, cls_loss=loss)
+        return gan_state, cls_state, jnp.argmax(logits, -1), metrics
+
+    return fused_step
+
+
 def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
                     rng, hardratio, cfg, summary=None, epoch=0):
     """Phase A over the full train loader; returns the fake-cloud dataset

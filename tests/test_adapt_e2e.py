@@ -30,3 +30,18 @@ def test_adaptpoint_two_phase_loop(tmp_path):
     assert os.path.exists(os.path.join(cfg.run_dir, "model_gan.msgpack"))
     assert os.path.exists(os.path.join(cfg.ckpt_dir,
                                        "adapt_test_ckpt_latest.msgpack"))
+
+
+@pytest.mark.slow
+def test_adaptpoint_fused_on_device(tmp_path):
+    """Fused single-step variant (adaptpoint_fused=True)."""
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/synthetic/pointnext-tiny_adaptpoint.yaml"),
+             recursive=True)
+    cfg.update_opts(["epochs=1", "batch_size=16", "val_batch_size=16",
+                     "adaptpoint_fused=True"])
+    cfg.run_dir = str(tmp_path)
+    cfg.run_name = None
+    from adaptpoint_tpu.engine.adapt_main import main
+    best_val = main(cfg)
+    assert best_val >= 0
