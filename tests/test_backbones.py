@@ -107,3 +107,16 @@ def test_curvenet(rng_np):
                training=False)
     out = m.apply(v, pos, None, cls0, training=False)
     assert out.shape == (2, 256, 50)
+
+
+def test_pointtransformer(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
+    enc = MODELS.build({"NAME": "PointTransformerEncoder", "in_channels": 4,
+                        "blocks": [1, 1, 1], "planes": [16, 32, 64],
+                        "strides": [1, 4, 4], "nsample": [8, 8, 8]})
+    assert enc.out_channels == 64
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 64)
