@@ -120,3 +120,12 @@ def test_pointtransformer(rng_np):
                  method="forward_cls_feat")
     out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 64)
+
+
+def test_simpleview(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
+    m = MODELS.build({"NAME": "MVModel", "num_classes": 15, "channels": 4,
+                      "resolution": 32})
+    v = m.init(jax.random.PRNGKey(0), pos, training=False)
+    out = m.apply(v, pos, training=False)
+    assert out.shape == (2, 15)
