@@ -172,3 +172,16 @@ def test_gather_rows_fallback(cloud):
     out = gather_rows(jnp.array(cloud), idx)
     ref = index_points(jnp.array(cloud), idx)
     assert np.allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_kmeans_separated_clusters():
+    from adaptpoint_tpu.models.layers.kmeans import kmeans
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 32, 3)) * 0.1
+    b = rng.standard_normal((1, 32, 3)) * 0.1 + 10.0
+    pts = jnp.asarray(np.concatenate([a, b], axis=1), jnp.float32)
+    assign, cents = kmeans(pts, 2, n_iters=5)
+    assign = np.asarray(assign)[0]
+    # the two blobs end up in different clusters
+    assert len(set(assign[:32])) == 1 and len(set(assign[32:])) == 1
+    assert assign[0] != assign[32]
