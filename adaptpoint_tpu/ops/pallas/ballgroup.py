@@ -127,17 +127,16 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
     idx_ref[0] = idxacc_scr[:]
 
 
-def _bwd_kernel(idx_ref, qidx_ref, gq_ref, gwide_ref, g_fx_ref, *,
-                nsample: int, w: int):
+def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
+                g_fx_ref, *, radius: float, nsample: int,
+                relative: bool, normalize_dp: bool):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
-    # idx (1,TM,K) i32; qidx (1,1,TM) i32
-    # gq_ref (1,TM,3w) bf16: packed 3-split of the query-row grads
-    #   [g_new - sum_k g_dp*scale || g_fi]
-    # gwide_ref (1,K,TM,3w) bf16: packed 3-split of [g_dp*scale || g_fj]
-    # out: g_fx (1,N,3w) packed; groups summed by the wrapper
+    # idx (1,TM,K) i32; qidx (1,1,TM) i32; g_new (1,TM,3); g_fi (1,TM,C);
+    # g_dp (1,K,TM,3); g_fj (1,K,TM,C); out: g_fx (1,N,3+C) packed
     K = nsample
     tm = idx_ref.shape[1]
     n_pad = g_fx_ref.shape[1]
+    scale = 1.0 / radius if (relative and normalize_dp) else 1.0
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -148,27 +147,28 @@ def _bwd_kernel(idx_ref, qidx_ref, gq_ref, gwide_ref, g_fx_ref, *,
     oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
 
-    acc = jnp.dot(oh_q.T, gq_ref[0], preferred_element_type=jnp.float32)
+    acc = jnp.zeros_like(g_fx_ref[0])  # (N, w)
+    gdp_sum = jnp.zeros((tm, 3), jnp.float32)
 
-    def k_body(k, acc):
+    def k_body(k, carry):
+        acc, gdp_sum = carry
         # extract column k of idx without a dynamic lane index
         sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
         ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
-        gw = gwide_ref[0, pl.ds(k, 1), :, :][0]  # (TM, 3w) bf16
-        return acc + jnp.dot(ohT, gw, preferred_element_type=jnp.float32)
+        gdp = g_dp_ref[0, pl.ds(k, 1), :, :][0] * scale  # (TM,3)
+        gfj = g_fj_ref[0, pl.ds(k, 1), :, :][0]  # (TM,C)
+        gcat = jnp.concatenate([gdp, gfj], axis=1)  # (TM, w)
+        acc += _oh_matmul(ohT, *_split3(gcat))
+        if relative:
+            gdp_sum = gdp_sum + gdp
+        return acc, gdp_sum
 
-    acc = lax.fori_loop(0, K, k_body, acc)
+    acc, gdp_sum = lax.fori_loop(0, K, k_body, (acc, gdp_sum))
+    # query-row contributions: d(newxyz) (+ -sum_k gdp if relative) and d(fi)
+    gq_xyz = g_new_ref[0] - gdp_sum if relative else g_new_ref[0]
+    gq = jnp.concatenate([gq_xyz, g_fi_ref[0]], axis=1)  # (TM, w)
+    acc += _oh_matmul(oh_q.T, *_split3(gq))
     g_fx_ref[0] = g_fx_ref[0] + acc
-
-
-def _pack3(x):
-    """XLA-side excess-precision-safe packed 3-split (..., C) -> (..., 3C)."""
-    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
-    r1 = x - hi.astype(jnp.float32)
-    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-    lo = jax.lax.optimization_barrier(
-        (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
-    return jnp.concatenate([hi, mid, lo], axis=-1)
 
 
 def _pick_tm(m: int, n_pad: int, c_pad: int, k: int) -> int:
@@ -281,17 +281,12 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     g_new, g_fi, g_dp, g_fj, _ = grads
     K = nsample
     M = query_idx.shape[1]
-    w = c + 3
     n_pad = _round_up(n, 128)
     tm = _pick_tm(M, n_pad, _round_up(c, 128), K)
-    scale = (1.0 / radius) if (relative and normalize_dp) else 1.0
 
-    g_dp = g_dp * scale
-    gq_xyz = (g_new - jnp.sum(g_dp, axis=1)) if relative else g_new
-    gq = _pack3(jnp.concatenate([gq_xyz, g_fi], axis=-1))  # (B, M, 3w)
-    gwide = _pack3(jnp.concatenate([g_dp, g_fj], axis=-1))  # (B, K, M, 3w)
-
-    kernel = functools.partial(_bwd_kernel, nsample=K, w=w)
+    kernel = functools.partial(
+        _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
+        normalize_dp=normalize_dp)
     g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),
@@ -300,17 +295,20 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, 3 * w), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, 3 * w), lambda i, t: (i, 0, t, 0),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, tm, 3), lambda i, t: (i, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, tm, c), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, 3 * w), lambda i, t: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, 3 * w), jnp.float32),
-    )(idx, query_idx.astype(jnp.int32)[:, None, :], gq, gwide)
-    g = g_fx[:, :n, :w] + g_fx[:, :n, w:2 * w] + g_fx[:, :n, 2 * w:3 * w]
-    return g[..., :3], None, g[..., 3:]
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
+    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dp, g_fj)
+    return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
 
 ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)
