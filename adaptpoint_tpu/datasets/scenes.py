@@ -179,3 +179,51 @@ class ShapeNet55:
         if self.transform is not None:
             data = self.transform(data, rng)
         return data
+
+
+@DATASETS.register_module()
+class MP40:
+    """Matterport3D object classification, mpcat40 labels
+    (parity: openpoints/dataset/matterport3d/matterport3d.py:32-210:
+    preprocessed h5 of 2048-pt objects with rgb; positive-label filter and
+    mpcat40 remap are assumed done at preprocessing)."""
+
+    num_classes = 40
+    gravity_dim = 1
+
+    def __init__(self, data_dir: str = "data/Matterport3D", split: str = "train",
+                 num_points: int = 1024, use_normal: bool = False,
+                 transform=None, **kwargs):
+        import h5py
+        self.split = split
+        self.num_points = num_points
+        self.use_normal = use_normal
+        self.transform = transform
+        path = osp.join(data_dir,
+                        f"matterport3dobjects_{split}_2048pts.h5")
+        if not osp.isfile(path):
+            raise FileNotFoundError(f"{path} not found")
+        with h5py.File(path, "r") as f:
+            grp = f["data"] if "data" in f else f
+            self.data = np.asarray(grp["data"], np.float32)
+            self.labels = np.asarray(grp["label"], np.int64).reshape(-1)
+
+    def __len__(self):
+        return len(self.data)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        pts = np.array(self.data[idx][: self.num_points], np.float32)
+        if self.split == "train":
+            rng.shuffle(pts)
+        data = {"pos": pts[:, :3],
+                "x": pts[:, 3:6 + 3 * self.use_normal],
+                "y": np.int64(self.labels[idx])}
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        extra = [data["pos"]]
+        if "heights" in data:
+            extra.append(data["heights"])
+        extra.append(data["x"])
+        data["x"] = np.concatenate(extra, axis=1)
+        data.pop("heights", None)
+        return data
