@@ -86,3 +86,25 @@ def test_pointnext_encoder_seg_feat(pointnext_cfg):
     assert [p.shape[1] for p in ps] == [N, N, N // 2, N // 4, N // 8, N // 16, N // 16]
     widths = [f.shape[-1] for f in fs[1:]]
     assert widths == [32, 64, 128, 256, 512, 512]
+
+
+def test_pointnext_with_depth_blocks(rng_np):
+    """blocks > 1 exercises the InvResMLP path (PointNeXt-B/L/XL style)."""
+    from adaptpoint_tpu.models.build import MODELS
+    enc = MODELS.build({
+        "NAME": "PointNextEncoder",
+        "blocks": [1, 2, 2], "strides": [1, 2, 2], "width": 16,
+        "in_channels": 4, "sa_layers": 1, "sa_use_res": False,
+        "radius": 0.15, "radius_scaling": 1.5, "nsample": 8, "expansion": 4,
+        "aggr_args": {"feature_type": "dp_fj", "reduction": "max"},
+        "group_args": {"NAME": "ballquery", "normalize_dp": True},
+        "conv_args": {"order": "conv-norm-act"},
+        "act_args": {"act": "relu"}, "norm_args": {"norm": "bn"}})
+    pos = jnp.asarray(np.random.default_rng(3).standard_normal((2, 128, 3)),
+                      jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_seg_feat")
+    ps, fs = enc.apply(v, pos, x, training=False, method="forward_seg_feat")
+    assert [p.shape[1] for p in ps] == [128, 128, 64, 32]
+    assert [f.shape[-1] for f in fs[1:]] == [16, 32, 64]
