@@ -34,3 +34,15 @@ def test_grid_subsample_single_voxel():
     out_p, _ = grid_subsample(pts, None, sample_dl=1.0)
     assert out_p.shape == (1, 3)
     assert np.allclose(out_p, 0)
+
+
+def test_kdtree_knn_matches_bruteforce(rng_np):
+    from adaptpoint_tpu.ops.cpu.kdtree_knn import kdtree_knn, _numpy_knn
+    support = rng_np.standard_normal((500, 3)).astype(np.float32)
+    queries = rng_np.standard_normal((40, 3)).astype(np.float32)
+    idx, d2 = kdtree_knn(support, queries, 8)
+    ridx, rd2 = _numpy_knn(support, queries, 8)
+    assert np.allclose(np.sort(d2, 1), np.sort(rd2, 1), atol=1e-5)
+    # same neighbor sets (ties aside)
+    for a, b in zip(idx, ridx):
+        assert set(a.tolist()) == set(b.tolist())
