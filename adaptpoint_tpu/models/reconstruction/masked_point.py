@@ -67,6 +67,108 @@ class NodeShuffle(nn.Module):
 
 
 @MODELS.register_module()
+class MaskedTransformerDecoder(nn.Module):
+    """MAE transformer decoder with mask tokens
+    (parity: reconstruction/maskedpointvit.py:14-90 MaskedTransformerDecoder):
+    embeds visible tokens, appends learned mask tokens at masked group
+    positions, adds positional MLPs of group centers, runs transformer blocks,
+    predicts group_size*3 coordinates per group."""
+
+    embed_dim: int
+    group_size: int = 32
+    decoder_embed_dim: int = 192
+    decoder_depth: int = 4
+    decoder_num_heads: int = 16
+
+    @nn.compact
+    def __call__(self, centers_vis, centers_masked, latent_vis,
+                 training: bool = False):
+        from ..backbone.pointvit import TransformerBlock
+        b, g_vis, _ = latent_vis.shape
+        g_mask = centers_masked.shape[1]
+        h = nn.Dense(self.decoder_embed_dim,
+                     kernel_init=torch_linear_init, name="decoder_embed")(
+            latent_vis)
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (1, 1, self.decoder_embed_dim))
+        tokens = jnp.concatenate(
+            [h, jnp.broadcast_to(mask_token,
+                                 (b, g_mask, self.decoder_embed_dim))], 1)
+        centers = jnp.concatenate([centers_vis, centers_masked], 1)
+        pos = nn.Dense(128, kernel_init=torch_linear_init, name="pos1")(centers)
+        pos = nn.gelu(pos)
+        pos = nn.Dense(self.decoder_embed_dim, kernel_init=torch_linear_init,
+                       name="pos2")(pos)
+        for i in range(self.decoder_depth):
+            tokens = TransformerBlock(self.decoder_embed_dim,
+                                      self.decoder_num_heads,
+                                      name=f"block{i}")(tokens + pos, training)
+        tokens = nn.LayerNorm(epsilon=1e-6)(tokens)
+        pred = nn.Dense(self.group_size * 3, kernel_init=torch_linear_init,
+                        name="decoder_pred")(tokens[:, g_vis:])
+        # masked-group local patches, re-centered at their group centers
+        return (pred.reshape(b, g_mask, self.group_size, 3)
+                + centers_masked[:, :, None, :])
+
+
+@MODELS.register_module()
+class MaskedPointViT(nn.Module):
+    """MAE over point groups with a ViT encoder
+    (parity: reconstruction/maskedpointvit.py MaskedPointViT): FPS groups,
+    mask whole groups, encode visible groups with PointViT-style patch
+    embedding + blocks, decode masked group patches, chamfer loss against the
+    original cloud."""
+
+    num_groups: int = 64
+    group_size: int = 32
+    embed_dim: int = 128
+    depth: int = 4
+    num_heads: int = 4
+    mask_ratio: float = 0.6
+    decoder_args: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, xyz, features=None, training: bool = True):
+        from ..backbone.pointvit import PointPatchEmbed, TransformerBlock
+        from ...ops import furthest_point_sample, index_points
+
+        rng = self.make_rng("masking") if training else jax.random.PRNGKey(0)
+        centers, tokens = PointPatchEmbed(
+            self.num_groups, self.group_size, self.embed_dim, 3,
+            name="patch_embed")(xyz, xyz if features is None else features,
+                                training)
+        # group-level random masking
+        c_vis, mask, ids_restore, ids_keep = random_masking(
+            rng, centers, self.mask_ratio)
+        g_vis = c_vis.shape[1]
+        tok_vis = index_points(tokens, ids_keep)
+        pos = nn.Dense(128, kernel_init=torch_linear_init, name="pos1")(c_vis)
+        pos = nn.gelu(pos)
+        pos = nn.Dense(self.embed_dim, kernel_init=torch_linear_init,
+                       name="pos2")(pos)
+        h = tok_vis
+        for i in range(self.depth):
+            h = TransformerBlock(self.embed_dim, self.num_heads,
+                                 name=f"block{i}")(h + pos, training)
+        h = nn.LayerNorm(epsilon=1e-6)(h)
+
+        # masked group ids: stable-sort puts kept (0) first, masked (1) last
+        all_ids = jnp.argsort(mask, axis=1)
+        ids_masked = all_ids[:, g_vis:]
+        c_masked = index_points(centers, ids_masked)
+
+        dec_args = dict(self.decoder_args or {})
+        dec_args.setdefault("NAME", "MaskedTransformerDecoder")
+        dec_args.setdefault("embed_dim", self.embed_dim)
+        dec_args.setdefault("group_size", self.group_size)
+        pred = build_model_from_cfg(dec_args)(c_vis, c_masked, h, training)
+        pred_cloud = pred.reshape(pred.shape[0], -1, 3)
+        d1, d2 = chamfer_distance(pred_cloud, xyz)
+        loss = jnp.mean(d1) + jnp.mean(d2)
+        return loss, pred_cloud
+
+
+@MODELS.register_module()
 class MaskedPoint(nn.Module):
     """MAE for point-based encoders (parity: maskedpoint.py:12-121)."""
 

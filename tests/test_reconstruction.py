@@ -49,3 +49,20 @@ def test_masked_point_forward_and_grad(rng_np):
     g = jax.grad(loss_fn)(variables["params"])
     gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert gn > 0
+
+
+def test_masked_pointvit_forward(rng_np):
+    model = build_model_from_cfg({
+        "NAME": "MaskedPointViT", "num_groups": 16, "group_size": 8,
+        "embed_dim": 32, "depth": 2, "num_heads": 4, "mask_ratio": 0.5,
+        "decoder_args": {"NAME": "MaskedTransformerDecoder",
+                         "decoder_embed_dim": 32, "decoder_depth": 1,
+                         "decoder_num_heads": 4}})
+    xyz = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}
+    v = model.init(rngs, xyz, training=True)
+    (loss, pred), _ = model.apply(
+        v, xyz, training=True, rngs={"masking": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"])
+    assert float(loss) > 0
+    assert pred.shape == (2, 8 * 8, 3)  # masked groups x group_size
