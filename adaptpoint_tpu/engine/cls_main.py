@@ -164,6 +164,20 @@ def main(cfg) -> Optional[float]:
     test_macc, test_oa, test_accs, _ = validate(eval_step, state, test_loader, mesh, cfg)
     print_cls_results(test_oa, test_macc, test_accs, cfg.epochs, cfg)
     write_to_csv(test_oa, test_macc, test_accs, best_epoch, cfg)
+
+    if cfg.get("use_voting", False):
+        from .cls_trainer import make_vote_eval_step
+        from ..parallel import shard_batch as _shard
+        vote_step = make_vote_eval_step(model, cfg)
+        cm = ConfusionMatrix(num_classes=cfg.num_classes)
+        vrng = jax.random.PRNGKey(cfg.get("seed") or 0)
+        for batch in test_loader:
+            n_valid = int(batch.pop("n_valid", len(batch["y"])))
+            vrng, sub = jax.random.split(vrng)
+            preds = np.asarray(vote_step(state, _shard(mesh, batch), sub))
+            cm.update(preds[:n_valid], batch["y"][:n_valid])
+        vmacc, voa, vaccs = cm.all_acc()
+        logging.info("voting eval: OA %.2f mAcc %.2f", voa, vmacc)
     if cfg.get("run_name"):
         best_path = os.path.join(cfg.ckpt_dir, f"{cfg.run_name}_ckpt_best.msgpack")
         if os.path.exists(best_path):

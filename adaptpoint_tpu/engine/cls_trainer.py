@@ -128,6 +128,35 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
+def make_vote_eval_step(model, cfg, num_votes: int = 10):
+    """Voting eval: average logits over random rotations of the cloud
+    (parity: the reference's use_voting + 'vote' transforms,
+    cfgs/scanobjectnn/default.yaml vote: [PointCloudRotation])."""
+    npoints = int(cfg.num_points)
+    in_channels = int(cfg.model.get("in_channels", None)
+                      or cfg.model.encoder_args.in_channels)
+
+    @jax.jit
+    def vote_step(state: TrainState, batch, rng):
+        points = batch["x"][:, :npoints]
+
+        def one_vote(key):
+            theta = jax.random.uniform(key, (), minval=-jnp.pi, maxval=jnp.pi)
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            rot = jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], points.dtype)
+            pos = points[..., :3] @ rot.T
+            x = jnp.concatenate([pos, points[..., 3:in_channels]], -1)
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pos, x, training=False)
+
+        keys = jax.random.split(rng, num_votes)
+        logits = jnp.mean(jax.vmap(one_vote)(keys), axis=0)
+        return jnp.argmax(logits, axis=-1)
+
+    return vote_step
+
+
 def init_state(cfg, model, tx, rng, example_batch) -> TrainState:
     pos = jnp.asarray(example_batch["x"][:2, :, :3])
     in_channels = int(cfg.model.get("in_channels", None)
