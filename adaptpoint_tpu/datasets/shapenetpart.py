@@ -142,3 +142,75 @@ def eval_corrupt_wrapper_shapenetc(eval_fn, eval_args, out_path, epoch,
             f.write("\n".join(lines) + "\n")
     logging.info("shapenet-c eval: %s", result)
     return result
+
+
+@DATASETS.register_module()
+class ShapeNetPartNormal(ShapeNetPart):
+    """Normal-channel variant from the original txt benchmark release
+    (parity: shapenetpart.py:156-325 ShapeNetPartNormal: synsetoffset2category
+    catalog, shuffled json splits, per-shape txt with xyz+normal+pid)."""
+
+    def __init__(self, data_root="data/shapenetcore_partanno_segmentation_benchmark_v0_normal",
+                 num_points=2048, split="train", use_normal=True,
+                 transform=None, **kwargs):
+        import json
+        split = {"val": "test"}.get(split, split)
+        self.partition = split
+        self.num_points = num_points
+        self.use_normal = use_normal
+        self.transform = transform
+        catfile = osp.join(data_root, "synsetoffset2category.txt")
+        if not osp.isfile(catfile):
+            raise FileNotFoundError(f"{catfile} not found")
+        cat = {}
+        with open(catfile) as f:
+            for line in f:
+                name, synset = line.strip().split()
+                cat[name] = synset
+        cls_of_synset = {v: i for i, (k, v) in enumerate(cat.items())}
+        wanted = {"train": ["train", "val"], "trainval": ["train", "val"],
+                  "test": ["test"]}[split]
+        ids = set()
+        for w in wanted:
+            with open(osp.join(data_root, "train_test_split",
+                               f"shuffled_{w}_file_list.json")) as f:
+                ids |= {d.split("/")[2] for d in json.load(f)}
+        self.paths, self.label = [], []
+        for synset in cat.values():
+            d = osp.join(data_root, synset)
+            if not osp.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn[:-4] in ids:
+                    self.paths.append(osp.join(d, fn))
+                    self.label.append(cls_of_synset[synset])
+        self.label = np.asarray(self.label, np.int64)
+        logging.info("ShapeNetPartNormal %s: %d shapes", split, len(self.paths))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        raw = np.loadtxt(self.paths[idx]).astype(np.float32)
+        if len(raw) >= self.num_points:
+            sel = rng.choice(len(raw), self.num_points, replace=False)
+        else:
+            sel = rng.choice(len(raw), self.num_points, replace=True)
+        raw = raw[sel]
+        pos, normal, seg = raw[:, :3], raw[:, 3:6], raw[:, 6].astype(np.int64)
+        data = {"pos": pos, "y": seg, "cls": np.int64(self.label[idx])}
+        if self.use_normal:
+            data["normals"] = normal
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        if "heights" not in data:
+            g = self.gravity_dim
+            data["heights"] = (data["pos"][:, g:g + 1]
+                               - data["pos"][:, g:g + 1].min()).astype(np.float32)
+        parts = [data["pos"], data["heights"]]
+        if self.use_normal:
+            parts.append(data.get("normals", normal))
+        data["x"] = np.concatenate(parts, axis=1)
+        data.pop("heights", None)
+        data.pop("normals", None)
+        return data
