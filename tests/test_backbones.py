@@ -129,3 +129,15 @@ def test_simpleview(rng_np):
     v = m.init(jax.random.PRNGKey(0), pos, training=False)
     out = m.apply(v, pos, training=False)
     assert out.shape == (2, 15)
+
+
+def test_randlanet(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
+    m = MODELS.build({"NAME": "RandLANet", "d_in": 4, "num_neighbors": 8,
+                      "dims": [8, 16, 32, 64]})
+    v = m.init(jax.random.PRNGKey(0), pos, x, training=False)
+    p, h = m.apply(v, pos, x, training=False)
+    assert h.shape[:2] == (2, 256)  # per-point features at full resolution
+    out = m.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 128)
