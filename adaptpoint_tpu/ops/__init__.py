@@ -103,7 +103,8 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
     bit-identical outputs.
     """
-    if _use_pallas():
+    # pallas tiles need M divisible by 8 (qidx sublane constraint)
+    if _use_pallas() and query_idx.shape[1] % 8 == 0:
         import jax.numpy as jnp
         new_xyz, fi, dp, fj, idx = ball_group_pallas(
             radius, nsample, xyz, query_idx, feats, relative, normalize_dp)

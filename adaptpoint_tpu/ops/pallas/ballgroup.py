@@ -60,14 +60,14 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
                 fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
                 normalize_dp: bool):
-    # xyz_ref (1,N,3) f32 | qidx_ref (1,1,TM) i32
+    # xyz_ref (1,N,3) f32 | qidx_ref (1,TM,1) i32
     # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
     # (packed in XLA behind optimization_barriers so each per-k gather is ONE
     #  well-filled MXU matmul instead of three narrow ones)
     # outs: newxyz (1,TM,3), fi (1,TM,C) center feats, dp (1,K,TM,3),
     #       fj (1,K,TM,C), idx (1,TM,K)
     _, n_pad, _ = xyz_ref.shape
-    tm = qidx_ref.shape[-1]
+    tm = qidx_ref.shape[1]
     K = nsample
 
     xyz = xyz_ref[0]  # (N,3)
@@ -76,7 +76,7 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
 
     # gather query centers by one-hot matmul
-    oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
     q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
     newxyz_ref[0] = q
 
@@ -131,7 +131,7 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
                 g_fx_ref, *, radius: float, nsample: int,
                 relative: bool, normalize_dp: bool):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
-    # idx (1,TM,K) i32; qidx (1,1,TM) i32; g_new (1,TM,3); g_fi (1,TM,C);
+    # idx (1,TM,K) i32; qidx (1,TM,1) i32; g_new (1,TM,3); g_fi (1,TM,C);
     # g_dp (1,K,TM,3); g_fj (1,K,TM,C); out: g_fx (1,N,3+C) packed
     K = nsample
     tm = idx_ref.shape[1]
@@ -144,7 +144,7 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
-    oh_q = (lane == qidx_ref[0, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
 
     acc = jnp.zeros_like(g_fx_ref[0])  # (N, w)
@@ -237,7 +237,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         in_specs=[
             pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tm), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, 3 * w), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -263,7 +263,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         ),
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
-    )(xyz, query_idx.astype(jnp.int32)[:, None, :], fcat)
+    )(xyz, query_idx.astype(jnp.int32)[:, :, None], fcat)
     return new_xyz, fi, dp, fj, idx
 
 
@@ -293,7 +293,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
         in_specs=[
             pl.BlockSpec((1, tm, K), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),
+            pl.BlockSpec((1, tm, 1), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
@@ -307,7 +307,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
         out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
-    )(idx, query_idx.astype(jnp.int32)[:, None, :], g_new, g_fi, g_dp, g_fj)
+    )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi, g_dp, g_fj)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
 
