@@ -44,13 +44,17 @@ class EdgeConv(nn.Module):
 @MODELS.register_module()
 class DGCNN(nn.Module):
     """parity: dgcnn.py:12-107 (defaults: channels 64, embed 1024, 5 blocks,
-    k=20, leakyrelu 0.2)."""
+    k=20, leakyrelu 0.2). graph='ball' gives the BallDGCNN variant
+    (openpoints/models/backbone/ball_dgcnn.py:13-60: ball-query edges on xyz
+    for every block instead of feature-space kNN)."""
 
     in_channels: int = 3
     channels: int = 64
     embed_dim: int = 1024
     n_blocks: int = 5
     k: int = 20
+    graph: str = "knn"
+    radius: float = 0.15
     norm_args: Optional[dict] = None
     act_args: Optional[dict] = None
     conv_args: Optional[dict] = None
@@ -73,14 +77,23 @@ class DGCNN(nn.Module):
         act_args = self.act_args or {"act": "leakyrelu", "negative_slope": 0.2}
         if features is None:
             features = pos
+
+        def graph(x):
+            if self.graph == "ball":
+                from ...ops import ball_query
+                return ball_query(self.radius, self.k, pos, pos)
+            _, idx = knn_point(self.k, x, x)
+            return idx
+
         # head: static graph from xyz (dgcnn.py:50,80)
-        _, idx = knn_point(self.k, pos, pos)
+        idx = graph(pos)
         feats = [EdgeConv(self.channels, norm_args, act_args, self.conv_args,
                           name="head")(features, idx, training)]
         ch = self.channels
         for i in range(self.n_blocks - 2):
-            # dynamic graph recomputed in feature space (graph_conv.py:76-90)
-            _, idx = knn_point(self.k, feats[-1], feats[-1])
+            # dynamic graph recomputed in feature space (graph_conv.py:76-90);
+            # ball variant keeps the fixed xyz graph (ball_dgcnn.py:52)
+            idx = graph(feats[-1])
             feats.append(EdgeConv(ch, norm_args, act_args, self.conv_args,
                                   name=f"block{i}")(feats[-1], idx, training))
             ch *= 2

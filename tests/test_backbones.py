@@ -141,3 +141,14 @@ def test_randlanet(rng_np):
     assert h.shape[:2] == (2, 256)  # per-point features at full resolution
     out = m.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 128)
+
+
+def test_ball_dgcnn_variant(inputs):
+    pos, x = inputs
+    enc = MODELS.build({"NAME": "DGCNN", "in_channels": 4, "channels": 8,
+                        "embed_dim": 32, "n_blocks": 3, "k": 8,
+                        "graph": "ball", "radius": 0.5})
+    v = enc.init(jax.random.PRNGKey(0), pos, x, training=False,
+                 method="forward_cls_feat")
+    out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 64)
