@@ -152,3 +152,14 @@ def test_ball_dgcnn_variant(inputs):
                  method="forward_cls_feat")
     out = enc.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 64)
+
+
+def test_grouppointnet(inputs):
+    pos, x = inputs
+    m = MODELS.build({"NAME": "GroupPointNet", "in_channels": 4,
+                      "channels": 16, "n_blocks": 4,
+                      "group_args": {"NAME": "knn", "nsample": 8}})
+    v = m.init(jax.random.PRNGKey(0), pos, x, training=False,
+               method="forward_cls_feat")
+    out = m.apply(v, pos, x, training=False, method="forward_cls_feat")
+    assert out.shape == (2, 32)
