@@ -143,6 +143,8 @@ def main(cfg) -> Optional[float]:
         if epoch % cfg.val_freq == 0:
             val_macc, val_oa, val_accs, _ = validate(
                 eval_step, state, val_loader, mesh, cfg)
+            if hasattr(lr_fn, "record"):  # plateau scheduler
+                lr_fn.record(val_oa)
             is_best = val_oa > best_val
             if is_best:
                 best_val, macc_when_best, best_epoch = val_oa, val_macc, epoch

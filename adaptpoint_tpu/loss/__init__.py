@@ -150,6 +150,45 @@ class Poly1CrossEntropy:
         return self.ce(logits_f, labels_f) + self.eps * jnp.mean(1.0 - pt)
 
 
+@LOSS.register_module(name="DistillLoss")
+class DistillLoss:
+    """Knowledge-distillation wrapper around a base criterion (parity:
+    openpoints/loss/distill_loss.py:14-85). Soft mode: KLDiv of
+    temperature-scaled log-softmaxes * tau^2 / numel; hard mode: CE against
+    the teacher argmax. ``teacher_fn`` is a jittable callable inputs->logits
+    (the caller closes over frozen teacher params — no torch.no_grad needed,
+    we just never differentiate through it)."""
+
+    def __init__(self, base_criterion_args, distill_type: str = "hard",
+                 alpha: float = 0.5, tau: float = 10.0, **kwargs):
+        assert distill_type in ("none", "soft", "hard")
+        self.base_criterion = build_criterion_from_cfg(base_criterion_args)
+        self.distill_type = distill_type
+        self.alpha = alpha
+        self.tau = tau
+
+    def __call__(self, inputs, outputs, labels, teacher_fn):
+        outputs_kd = None
+        if isinstance(outputs, (tuple, list)):
+            outputs, outputs_kd = outputs
+        base_loss = self.base_criterion(outputs, labels)
+        if self.distill_type == "none":
+            return base_loss
+        if outputs_kd is None:
+            outputs_kd = outputs
+        teacher_logits = jax.lax.stop_gradient(teacher_fn(inputs))
+        if self.distill_type == "soft":
+            t = self.tau
+            log_p = jnn.log_softmax(outputs_kd / t, axis=1)
+            log_q = jnn.log_softmax(teacher_logits / t, axis=1)
+            kl = jnp.sum(jnp.exp(log_q) * (log_q - log_p))
+            distill = kl * (t * t) / outputs_kd.size
+        else:
+            hard = jnp.argmax(teacher_logits, axis=1)
+            distill = CrossEntropy()(outputs_kd, hard)
+        return base_loss * (1.0 - self.alpha) + distill * self.alpha
+
+
 def build_criterion_from_cfg(cfg, **default_args):
     from ..utils.registry import build_from_cfg
     return build_from_cfg(cfg, LOSS, default_args or None)

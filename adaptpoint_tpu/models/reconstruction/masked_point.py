@@ -194,3 +194,102 @@ class MaskedPoint(nn.Module):
         d1, d2 = chamfer_distance(pred, xyz)
         loss = jnp.mean(d1) + jnp.mean(d2)
         return loss, pred
+
+
+@MODELS.register_module()
+class MaskedPointGroup(nn.Module):
+    """MAE over grouped local patches for point-based encoders
+    (parity: reconstruction/maskedpointgroup.py:14-168 MaskedPointGroup):
+    FPS/random centers, knn/ball patches in ABSOLUTE coordinates, per-sample
+    random group masking, patch-wise encoding of visible groups, transformer
+    decoder with mask tokens restoring all groups, per-patch Chamfer-L1
+    against the original patches (reference forward_loss 'option 2')."""
+
+    encoder_args: dict
+    decoder_args: Optional[dict] = None
+    mask_ratio: float = 0.75
+    subsample: str = "fps"
+    group: str = "knn"
+    group_size: int = 32
+    sample_ratio: float = 0.25
+    radius: float = 0.1
+
+    @nn.compact
+    def __call__(self, xyz, features=None, training: bool = True):
+        from ..backbone.pointvit import TransformerBlock
+        from ..layers.group_layers import KNNGroup, QueryAndGroup
+        from ...ops import furthest_point_sample, random_sample
+
+        rng = self.make_rng("masking") if training else jax.random.PRNGKey(0)
+        b, n, _ = xyz.shape
+        L = int(n * self.sample_ratio)
+        if self.subsample == "fps":
+            idx = furthest_point_sample(xyz, L)
+        else:
+            idx = random_sample(rng, xyz, L)
+        centers = index_points(xyz, idx)  # (B, L, 3)
+        if "knn" in self.group:
+            grouper = KNNGroup(self.group_size, relative_xyz=False)
+        else:
+            grouper = QueryAndGroup(self.radius, self.group_size,
+                                    relative_xyz=False)
+        feats = xyz if features is None else features
+        dp, gf = grouper(centers, xyz, feats)  # (B,L,K,3), (B,L,K,C)
+
+        # group-level masking (maskedpointgroup.py:72-106)
+        len_keep = int(L * (1 - self.mask_ratio))
+        noise = jax.random.uniform(rng, (b, L))
+        ids_shuffle = jnp.argsort(noise, axis=1)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)
+        ids_keep = ids_shuffle[:, :len_keep]
+        dp_vis = jnp.take_along_axis(dp, ids_keep[:, :, None, None], axis=1)
+        gf_vis = jnp.take_along_axis(gf, ids_keep[:, :, None, None], axis=1)
+        c_vis = jnp.take_along_axis(centers, ids_keep[:, :, None], axis=1)
+
+        # per-patch encoding of [dp || gf] -> one token per visible group
+        # (TPU-native stand-in for the reference's encoder.ssl_forward on the
+        # patch tensor: shared MLP + max pool, the PointNet patch embed)
+        enc = dict(self.encoder_args)
+        width = enc.get("embed_dim", enc.get("width", 256))
+        h = jnp.concatenate([dp_vis, gf_vis], axis=-1)
+        h = nn.Dense(width, kernel_init=torch_linear_init, name="patch0")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(width, kernel_init=torch_linear_init, name="patch1")(h)
+        tokens = jnp.max(h, axis=2)  # (B, len_keep, width)
+        pos = nn.gelu(nn.Dense(128, kernel_init=torch_linear_init,
+                               name="pos1")(c_vis))
+        pos = nn.Dense(width, kernel_init=torch_linear_init, name="pos2")(pos)
+        for i in range(enc.get("depth", 4)):
+            tokens = TransformerBlock(width, enc.get("num_heads", 4),
+                                      name=f"encblock{i}")(tokens + pos,
+                                                           training)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="encnorm")(tokens)
+
+        # decoder: mask tokens + restore order + transformer over ALL groups
+        dec = dict(self.decoder_args or {})
+        dwidth = dec.get("embed_dim", 192)
+        h = nn.Dense(dwidth, kernel_init=torch_linear_init,
+                     name="dec_embed")(tokens)
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (1, 1, dwidth))
+        h = jnp.concatenate(
+            [h, jnp.broadcast_to(mask_token, (b, L - len_keep, dwidth))], 1)
+        h = jnp.take_along_axis(h, ids_restore[:, :, None], axis=1)  # (B,L,D)
+        dpos = nn.gelu(nn.Dense(128, kernel_init=torch_linear_init,
+                                name="dpos1")(centers))
+        dpos = nn.Dense(dwidth, kernel_init=torch_linear_init,
+                        name="dpos2")(dpos)
+        for i in range(dec.get("depth", 4)):
+            h = TransformerBlock(dwidth, dec.get("num_heads", 4),
+                                 name=f"decblock{i}")(h + dpos, training)
+        h = nn.LayerNorm(epsilon=1e-6, name="decnorm")(h)
+        pred = nn.Dense(self.group_size * 3, kernel_init=torch_linear_init,
+                        name="dec_pred")(h)
+        pred = pred.reshape(b, L, self.group_size, 3)
+
+        # per-patch Chamfer-L1 over all groups (maskedpointgroup.py:110-130)
+        d1, d2 = chamfer_distance(pred.reshape(b * L, self.group_size, 3),
+                                  dp.reshape(b * L, self.group_size, 3))
+        loss = 0.5 * (jnp.mean(jnp.sqrt(d1 + 1e-12))
+                      + jnp.mean(jnp.sqrt(d2 + 1e-12)))
+        return loss, pred.reshape(b, -1, 3)

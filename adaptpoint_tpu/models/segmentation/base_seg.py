@@ -93,6 +93,67 @@ class BaseSeg(nn.Module):
 
 
 @MODELS.register_module()
+class VariableSeg(BaseSeg):
+    """Variable-batch seg wrapper (parity: base_seg.py:75-89). The reference
+    flattens variable clouds into one packed batch; the TPU-native design
+    keeps dense fixed shapes (loader pads, n_valid masks the loss), so the
+    forward is identical to BaseSeg with a VariableSegHead."""
+
+
+@MODELS.register_module()
+class VariableSegHead(nn.Module):
+    """Linear per-point head (parity: base_seg.py:153-188): two linear
+    blocks [C->C] + dropout then the class projection."""
+
+    num_classes: int
+    in_channels: Optional[int] = None
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        norm_args = self.norm_args or {"norm": "bn1d"}
+        act_args = self.act_args or {"act": "relu"}
+        x = ConvBlock(f.shape[-1], norm_args=norm_args,
+                      act_args=act_args)(f, training)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return nn.Dense(self.num_classes, kernel_init=torch_linear_init)(x)
+
+
+@MODELS.register_module()
+class MultiSegHead(nn.Module):
+    """Per-shape-class part heads (parity: base_seg.py:190-234): one small
+    conv head per shape category, each predicting that category's part count;
+    returns the list of per-category logits. Padded to max(num_parts) and
+    stacked would also work, but callers index by shape class."""
+
+    num_classes: int
+    in_channels: Optional[int] = None
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+    dropout: float = 0.0
+    shape_classes: int = 16
+    num_parts: Sequence[int] = (4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3)
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        norm_args = self.norm_args or {"norm": "bn1d"}
+        act_args = self.act_args or {"act": "relu"}
+        out = []
+        for i in range(self.shape_classes):
+            x = ConvBlock(f.shape[-1], norm_args=norm_args, act_args=act_args,
+                          name=f"head{i}_mlp")(f, training)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not training)(x)
+            out.append(nn.Dense(self.num_parts[i],
+                                kernel_init=torch_linear_init,
+                                name=f"head{i}_cls")(x))
+        return out
+
+
+@MODELS.register_module()
 class BasePartSeg(BaseSeg):
     """Part segmentation: class label conditions the decoder
     (parity: base_seg.py:53-72)."""

@@ -67,9 +67,42 @@ def gather_rows(points, idx):
     on TPU, take_along_axis elsewhere."""
     if _use_pallas() and points.ndim == 3 and idx.ndim == 2 \
             and points.dtype == jnp.float32:
-        from .pallas.gather import gather_rows_pallas
-        return gather_rows_pallas(points, idx)
-    return index_points(points, idx)
+        from .pallas.gather import gather_rows_pallas, gather_fits
+        if gather_fits(points.shape[1], points.shape[2], idx.shape[1]):
+            return gather_rows_pallas(points, idx)
+    return _index_points_xla(points, idx)
+
+
+# Dispatching index_points: every (B,N,C) f32 gather — any idx rank — runs as
+# Pallas one-hot MXU matmuls on TPU (XLA's row gather is ~10GB/s effective;
+# this is the single biggest model-wide win, SURVEY.md §2.3 TPU plan).
+_index_points_xla = index_points
+
+
+def index_points(points, idx):  # noqa: F811  (intentional dispatcher shadow)
+    import jax.numpy as _jnp
+    if _use_pallas() and getattr(points, "ndim", 0) == 3 \
+            and points.dtype == _jnp.float32 and getattr(idx, "ndim", 0) >= 2:
+        b = points.shape[0]
+        flat = idx.reshape(b, -1)
+        from .pallas.gather import gather_rows_pallas, gather_fits
+        if flat.shape[1] > 0 and gather_fits(points.shape[1],
+                                             points.shape[2], flat.shape[1]):
+            out = gather_rows_pallas(points, flat)
+            return out.reshape(tuple(idx.shape) + (points.shape[-1],))
+    return _index_points_xla(points, idx)
+
+
+def three_interpolation(unknown_xyz, known_xyz, known_feat):
+    """FP upsampling with the dispatching gather (parity:
+    geometry.three_interpolation)."""
+    import jax.numpy as _jnp
+    dist, idx = three_nn(unknown_xyz, known_xyz)
+    dist_recip = 1.0 / (dist + 1e-8)
+    norm = _jnp.sum(dist_recip, axis=2, keepdims=True)
+    weight = dist_recip / norm
+    gathered = index_points(known_feat, idx)  # (B,N,3,C)
+    return _jnp.sum(gathered * weight[..., None], axis=2)
 
 
 def fps(data, number: int):

@@ -1,2 +1,2 @@
 from .grid_subsample import grid_subsample
-from .kdtree_knn import kdtree_knn
+from .kdtree_knn import kdtree_knn, knn_search

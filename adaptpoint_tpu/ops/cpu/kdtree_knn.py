@@ -75,3 +75,17 @@ def kdtree_knn(support: np.ndarray, queries: np.ndarray, k: int
                    queries.ctypes.data_as(fp), m, k,
                    out_idx.ctypes.data_as(ip), out_d2.ctypes.data_as(fp))
     return out_idx, out_d2
+
+
+def knn_search(support_pts: np.ndarray, query_pts: np.ndarray, k: int
+               ) -> np.ndarray:
+    """Batched host kNN (parity:
+    openpoints/dataset/semantic_kitti/helper_tool.py:134-143
+    nearest_neighbors.knn_batch): support (B,N,3) + query (B,M,3)
+    -> idx (B,M,k) int32. Unbatched 2D inputs are also accepted."""
+    support_pts = np.asarray(support_pts, np.float32)
+    query_pts = np.asarray(query_pts, np.float32)
+    if support_pts.ndim == 2:
+        return kdtree_knn(support_pts, query_pts, k)[0]
+    return np.stack([kdtree_knn(s, q, k)[0]
+                     for s, q in zip(support_pts, query_pts)])

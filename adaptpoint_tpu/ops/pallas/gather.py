@@ -44,13 +44,33 @@ def _bwd_kernel(idx_ref, g_ref, out_ref):
     out_ref[0] = out_ref[0] + _oh_matmul(ohT, *_split3(g_ref[0]))
 
 
-def _pick_tm(m: int, n_pad: int, c_pad: int) -> int:
+def _fits(tm: int, n_pad: int, c_pad: int) -> bool:
+    # one-hot (tm, n_pad) + double-buffered out (tm, c_pad) + pts (n_pad, c_pad)
+    return (tm * n_pad * 4 + 2 * tm * c_pad * 4
+            + n_pad * c_pad * 4) <= 10 * 1024 * 1024
+
+
+def _pad_m(m: int) -> int:
+    # Mosaic block rule: the idx tile's last dim must be a multiple of 128
+    # or equal to M itself. Small M runs as one full block; larger M is
+    # padded to a 128 multiple so 128/256/512 tiles divide it.
+    return m if m <= 128 else _round_up(m, 128)
+
+
+def _pick_tm(m_pad: int, n_pad: int, c_pad: int) -> int:
     tm = 512
-    while tm > 8 and (tm * n_pad * 4 + 2 * tm * c_pad * 4) > 8 * 1024 * 1024:
+    while tm >= 128:
+        if m_pad % tm == 0 and _fits(tm, n_pad, c_pad):
+            return tm
         tm //= 2
-    while m % tm != 0 and tm > 1:
-        tm //= 2
-    return max(tm, 1)
+    return m_pad
+
+
+def gather_fits(n: int, c: int, m: int) -> bool:
+    """True if gather_rows_pallas can tile (B,N,C) x (B,M) within VMEM."""
+    n_pad, c_pad = _round_up(n, 128), _round_up(c, 128)
+    m_pad = _pad_m(m)
+    return _fits(_pick_tm(m_pad, n_pad, c_pad), n_pad, c_pad)
 
 
 @jax.custom_vjp
@@ -63,12 +83,15 @@ def _call_fwd(points, idx):
     B, N, C = points.shape
     M = idx.shape[1]
     n_pad = _round_up(N, 128)
-    tm = _pick_tm(M, n_pad, _round_up(C, 128))
+    m_pad = _pad_m(M)
+    tm = _pick_tm(m_pad, n_pad, _round_up(C, 128))
     if n_pad != N:
         points = jnp.pad(points, ((0, 0), (0, n_pad - N), (0, 0)))
-    return pl.pallas_call(
+    if m_pad != M:
+        idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
+    out = pl.pallas_call(
         _fwd_kernel,
-        grid=(B, M // tm),
+        grid=(B, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, n_pad, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -77,8 +100,9 @@ def _call_fwd(points, idx):
         ],
         out_specs=pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, C), jnp.float32),
     )(points, idx.astype(jnp.int32)[:, None, :])
+    return out[:, :M] if m_pad != M else out
 
 
 def _fwd(points, idx):
@@ -89,10 +113,15 @@ def _bwd(res, g):
     (b, n, c), idx = res
     M = idx.shape[1]
     n_pad = _round_up(n, 128)
-    tm = _pick_tm(M, n_pad, _round_up(c, 128))
+    m_pad = _pad_m(M)
+    tm = _pick_tm(m_pad, n_pad, _round_up(c, 128))
+    if m_pad != M:
+        # padded idx rows point at row 0 but carry zero cotangent
+        idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
+        g = jnp.pad(g, ((0, 0), (0, m_pad - M), (0, 0)))
     g_pts = pl.pallas_call(
         _bwd_kernel,
-        grid=(b, M // tm),
+        grid=(b, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),
                          memory_space=pltpu.VMEM),

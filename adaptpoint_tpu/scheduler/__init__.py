@@ -11,7 +11,71 @@ from __future__ import annotations
 import math
 from typing import Callable
 
-__all__ = ["build_scheduler_from_cfg"]
+__all__ = ["build_scheduler_from_cfg", "PlateauScheduler"]
+
+
+class PlateauScheduler:
+    """Reduce-on-plateau epoch scheduler (parity:
+    openpoints/scheduler/plateau_lr.py:12-93 + scheduler_factory.py:87-99).
+
+    Stateful: the engine calls ``record(metric)`` after each eval, then
+    ``lr_fn(epoch)`` at the next epoch start. Implements torch
+    ReduceLROnPlateau semantics (rel threshold, patience, cooldown) with
+    timm-style linear warmup; mode='max' for accuracy metrics, 'min' for
+    losses (factory line 88)."""
+
+    def __init__(self, lr, decay_rate=0.1, patience_t=10, threshold=1e-4,
+                 cooldown_t=0, warmup_t=0, warmup_lr=1e-6, min_lr=0.0,
+                 mode="max"):
+        self.lr = lr
+        self.decay_rate = decay_rate
+        self.patience_t = patience_t
+        self.threshold = threshold
+        self.cooldown_t = cooldown_t
+        self.warmup_t = warmup_t
+        self.warmup_lr = warmup_lr
+        self.min_lr = min_lr
+        self.mode = mode
+        self.best = -math.inf if mode == "max" else math.inf
+        self.num_bad = 0
+        self.cooldown = 0
+        self.cur_lr = lr
+
+    def _is_better(self, metric):
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold) if self.best > 0 \
+                else metric > self.best + self.threshold
+        return metric < self.best * (1.0 - self.threshold) if self.best > 0 \
+            else metric < self.best - self.threshold
+
+    def record(self, metric):
+        metric = float(metric)
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        elif self.cooldown > 0:
+            self.cooldown -= 1
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience_t:
+                self.cur_lr = max(self.cur_lr * self.decay_rate, self.min_lr)
+                self.cooldown = self.cooldown_t
+                self.num_bad = 0
+
+    def state_dict(self):
+        return {"best": self.best, "num_bad": self.num_bad,
+                "cooldown": self.cooldown, "cur_lr": self.cur_lr}
+
+    def load_state_dict(self, d):
+        self.__dict__.update({k: d[k] for k in
+                              ("best", "num_bad", "cooldown", "cur_lr")
+                              if k in d})
+
+    def __call__(self, t: int) -> float:
+        if self.warmup_t and t <= self.warmup_t:
+            return self.warmup_lr + (self.lr - self.warmup_lr) * t / self.warmup_t
+        return self.cur_lr
 
 
 def build_scheduler_from_cfg(cfg) -> Callable[[int], float]:
@@ -67,6 +131,13 @@ def build_scheduler_from_cfg(cfg) -> Callable[[int], float]:
 
     def constant(t: int) -> float:
         return lr
+
+    if sched == "plateau":
+        mode = "min" if "loss" in str(cfg.get("eval_metric", "")) else "max"
+        return PlateauScheduler(
+            lr, decay_rate=cfg.get("decay_rate", 0.1),
+            patience_t=cfg.get("patience_epochs", 10),
+            warmup_t=warmup_t, warmup_lr=warmup_lr, min_lr=min_lr, mode=mode)
 
     table = {"cosine": cosine, "tanh": tanh, "step": step,
              "multistep": multistep, "poly": poly, "constant": constant,

@@ -197,3 +197,145 @@ class RandomHorizontalFlip:
                     if "normals" in data:
                         data["normals"][:, ax] = -data["normals"][:, ax]
         return data
+
+
+@DataTransforms.register_module()
+class ChromaticAutoContrast:
+    """Blend colors toward full-range contrast (parity:
+    point_transform_cpu.py:192-209)."""
+
+    def __init__(self, p=0.2, blend_factor=None, **kwargs):
+        self.p = p
+        self.blend_factor = blend_factor
+
+    def __call__(self, data, rng):
+        if rng.random() < self.p:
+            rgb = data["x"][:, :3]
+            lo = rgb.min(0, keepdims=True)
+            hi = rgb.max(0, keepdims=True)
+            scale = 255.0 / np.maximum(hi - lo, 1e-12)
+            contrast = (rgb - lo) * scale
+            bf = rng.random() if self.blend_factor is None else self.blend_factor
+            data["x"][:, :3] = (1 - bf) * rgb + bf * contrast
+        return data
+
+
+@DataTransforms.register_module()
+class ChromaticTranslation:
+    """Global color shift (parity: point_transform_cpu.py:213-223)."""
+
+    def __init__(self, p=0.95, ratio=0.05, **kwargs):
+        self.p = p
+        self.ratio = ratio
+
+    def __call__(self, data, rng):
+        if rng.random() < self.p:
+            tr = (rng.random((1, 3)) - 0.5) * 255 * 2 * self.ratio
+            data["x"][:, :3] = np.clip(tr + data["x"][:, :3], 0, 255)
+        return data
+
+
+@DataTransforms.register_module()
+class ChromaticJitter:
+    """Per-point color noise (parity: point_transform_cpu.py:226-237)."""
+
+    def __init__(self, p=0.95, std=0.005, **kwargs):
+        self.p = p
+        self.std = std
+
+    def __call__(self, data, rng):
+        if rng.random() < self.p:
+            noise = rng.standard_normal((data["x"].shape[0], 3)) * self.std * 255
+            data["x"][:, :3] = np.clip(noise + data["x"][:, :3], 0, 255)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomDropFeature:
+    """Zero a feature slice with prob p (parity:
+    point_transform_cpu.py:304-315)."""
+
+    def __init__(self, feature_drop=0.2, drop_dim=(0, 3), **kwargs):
+        self.p = feature_drop
+        self.dim = list(drop_dim)
+
+    def __call__(self, data, rng):
+        if rng.random() < self.p:
+            data["x"][:, self.dim[0]:self.dim[-1]] = 0
+        return data
+
+
+@DataTransforms.register_module()
+class HueSaturationTranslation:
+    """Random hue/saturation perturbation in HSV space (parity:
+    point_transform_cpu.py:240-301, colorsys-equivalent vectorized
+    conversions)."""
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2, **kwargs):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    @staticmethod
+    def rgb_to_hsv(rgb):
+        rgb = rgb.astype(np.float64)
+        hsv = np.zeros_like(rgb)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        maxc = rgb[..., :3].max(-1)
+        minc = rgb[..., :3].min(-1)
+        hsv[..., 2] = maxc
+        mask = maxc != minc
+        span = np.where(mask, maxc - minc, 1.0)
+        hsv[mask, 1] = (maxc - minc)[mask] / np.maximum(maxc[mask], 1e-12)
+        rc = np.where(mask, (maxc - r) / span, 0.0)
+        gc = np.where(mask, (maxc - g) / span, 0.0)
+        bc = np.where(mask, (maxc - b) / span, 0.0)
+        hsv[..., 0] = np.select([r == maxc, g == maxc],
+                                [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc)
+        hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
+        return hsv
+
+    @staticmethod
+    def hsv_to_rgb(hsv):
+        rgb = np.empty_like(hsv)
+        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        i = (h * 6.0).astype(np.uint8)
+        f = (h * 6.0) - i
+        p = v * (1.0 - s)
+        q = v * (1.0 - s * f)
+        t = v * (1.0 - s * (1.0 - f))
+        i = i % 6
+        conds = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
+        rgb[..., 0] = np.select(conds, [v, q, p, p, t, v], default=v)
+        rgb[..., 1] = np.select(conds, [v, v, v, q, p, p], default=t)
+        rgb[..., 2] = np.select(conds, [v, p, t, v, v, q], default=p)
+        return rgb
+
+    def __call__(self, data, rng):
+        hsv = self.rgb_to_hsv(data["x"][:, :3])
+        hue_val = (rng.random() - 0.5) * 2 * self.hue_max
+        sat_ratio = 1 + (rng.random() - 0.5) * 2 * self.saturation_max
+        hsv[..., 0] = np.remainder(hue_val + hsv[..., 0] + 1, 1)
+        hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
+        data["x"][:, :3] = np.clip(self.hsv_to_rgb(hsv), 0, 255)
+        return data
+
+
+@DataTransforms.register_module()
+class ChromaticNormalize:
+    """Scale colors to [0,1] and optionally standardize (parity:
+    point_transformer_gpu.py:396-422 + NumpyChromaticNormalize)."""
+
+    def __init__(self, color_mean=None, color_std=None, **kwargs):
+        self.color_mean = (np.asarray(color_mean, np.float32)
+                           if color_mean is not None else None)
+        self.color_std = (np.asarray(color_std, np.float32)
+                          if color_std is not None else None)
+
+    def __call__(self, data, rng):
+        rgb = data["x"][:, :3].astype(np.float32)
+        if rgb.max() > 1:
+            rgb = rgb / 255.0
+        if self.color_mean is not None:
+            rgb = (rgb - self.color_mean) / self.color_std
+        data["x"][:, :3] = rgb
+        return data

@@ -51,6 +51,12 @@ def main():
 
     # ball_group relative+normalized and raw (augmentor path)
     feats = jnp.asarray(rng.standard_normal((16, 512, 64)), jnp.float32)
+
+    # dispatching index_points with rank-3 idx (FP / EdgeConv / knn path)
+    from adaptpoint_tpu.ops.geometry import index_points as ip_xla
+    idx3 = jnp.asarray(rng.integers(0, 512, (16, 128, 24)), jnp.int32)
+    ok &= check("index_points rank3", index_points(feats, idx3),
+                ip_xla(feats, idx3), exact=True)
     for rel, norm in [(True, True), (False, False)]:
         got = ball_group(0.2, 16, x, idx, feats, rel, norm)
         ref = _ball_group_xla(0.2, 16, x, idx, feats, rel, norm)

@@ -163,3 +163,16 @@ def test_grouppointnet(inputs):
                method="forward_cls_feat")
     out = m.apply(v, pos, x, training=False, method="forward_cls_feat")
     assert out.shape == (2, 32)
+
+
+def test_baafnet(rng_np):
+    pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
+    m = MODELS.build({"NAME": "BAAFNet", "num_classes": 13,
+                      "dims": [4, 8, 16, 64, 128], "k": 8})
+    v = m.init({"params": jax.random.PRNGKey(0)}, pos, x)
+    out = m.apply(v, pos, x)  # eval: no dropout rng needed
+    assert out.shape == (2, 256, 13)
+    out2, _ = m.apply(v, pos, x, True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert jnp.isfinite(out2).all()

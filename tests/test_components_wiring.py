@@ -47,3 +47,82 @@ def test_adaptpoint_cfg_builds_all_components():
         c.load(os.path.join(REPO, f"cfgs/scanobjectnn/{name}.yaml"),
                recursive=True)
         build_model_from_cfg(c.model)
+
+
+def test_plateau_scheduler():
+    from adaptpoint_tpu.scheduler import build_scheduler_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig
+    cfg = EasyConfig({"sched": "plateau", "lr": 0.01, "epochs": 50,
+                      "warmup_epochs": 2, "warmup_lr": 1e-4, "min_lr": 1e-5,
+                      "decay_rate": 0.5, "patience_epochs": 2})
+    s = build_scheduler_from_cfg(cfg)
+    assert s(0) == 1e-4 and abs(s(2) - 0.01) < 1e-9
+    for _ in range(3):
+        s.record(30.0)  # best stays 30
+    assert s(10) == 0.01  # patience not yet exceeded (2 bad epochs)
+    s.record(30.0)
+    assert s(10) == 0.005  # decayed after patience
+    s2 = build_scheduler_from_cfg(cfg)
+    s2.load_state_dict(s.state_dict())
+    assert s2(10) == s(10)
+
+
+def test_distill_loss():
+    import jax
+    import jax.numpy as jnp
+    from adaptpoint_tpu.loss import build_criterion_from_cfg
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 10))
+    labels = jnp.array([1, 2, 3, 4])
+    teacher = lambda inp: jax.random.normal(jax.random.PRNGKey(1), (4, 10))
+    for dtype in ("soft", "hard", "none"):
+        crit = build_criterion_from_cfg(
+            {"NAME": "DistillLoss", "distill_type": dtype,
+             "base_criterion_args": {"NAME": "SmoothCrossEntropy",
+                                     "label_smoothing": 0.2}})
+        loss = crit(jnp.ones((4, 8)), logits, labels, teacher)
+        assert jnp.isfinite(loss)
+
+
+def test_multi_and_variable_seg_heads():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from adaptpoint_tpu.models import build_model_from_cfg
+    f = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 32)),
+                    jnp.float32)
+    m = build_model_from_cfg({"NAME": "VariableSegHead", "num_classes": 13,
+                              "in_channels": 32})
+    v = m.init({"params": jax.random.PRNGKey(0)}, f)
+    assert m.apply(v, f).shape == (2, 64, 13)
+    m = build_model_from_cfg({"NAME": "MultiSegHead", "num_classes": 50,
+                              "in_channels": 32, "shape_classes": 4,
+                              "num_parts": [4, 2, 2, 4]})
+    v = m.init({"params": jax.random.PRNGKey(0)}, f)
+    outs = m.apply(v, f)
+    assert [o.shape[-1] for o in outs] == [4, 2, 2, 4]
+
+
+def test_chromatic_transforms():
+    import numpy as np
+    from adaptpoint_tpu.transforms.transforms_factory import DataTransforms
+    rng = np.random.default_rng(0)
+    data = {"pos": rng.standard_normal((64, 3)).astype(np.float32),
+            "x": (rng.random((64, 6)) * 255).astype(np.float32)}
+    for name in ["ChromaticAutoContrast", "ChromaticTranslation",
+                 "ChromaticJitter", "HueSaturationTranslation",
+                 "RandomDropFeature", "ChromaticNormalize"]:
+        data = DataTransforms.module_dict[name]()(data, rng)
+        assert np.isfinite(data["x"]).all(), name
+    assert data["x"][:, :3].max() <= 1.0  # normalized at the end
+
+
+def test_hsv_roundtrip_matches_colorsys():
+    import colorsys
+    import numpy as np
+    from adaptpoint_tpu.transforms.point_transforms import (
+        HueSaturationTranslation as H)
+    rgb = np.random.default_rng(1).random((100, 3)) * 255
+    hsv = H.rgb_to_hsv(rgb)
+    ref = np.array([colorsys.rgb_to_hsv(*p) for p in rgb])
+    assert np.abs(hsv - ref).max() < 1e-9
+    assert np.abs(H.hsv_to_rgb(hsv) - rgb).max() < 1e-9

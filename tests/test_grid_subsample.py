@@ -46,3 +46,16 @@ def test_kdtree_knn_matches_bruteforce(rng_np):
     # same neighbor sets (ties aside)
     for a, b in zip(idx, ridx):
         assert set(a.tolist()) == set(b.tolist())
+
+
+def test_knn_search_batched():
+    from adaptpoint_tpu.ops.cpu.kdtree_knn import knn_search, _numpy_knn
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((2, 300, 3)).astype(np.float32)
+    q = rng.standard_normal((2, 50, 3)).astype(np.float32)
+    idx = knn_search(s, q, 8)
+    ref = np.stack([_numpy_knn(a, b, 8)[0] for a, b in zip(s, q)])
+    assert idx.shape == (2, 50, 8) and (idx == ref).all()
+    # unbatched 2D path
+    idx2 = knn_search(s[0], q[0], 8)
+    assert (idx2 == ref[0]).all()

@@ -66,3 +66,21 @@ def test_masked_pointvit_forward(rng_np):
         mutable=["batch_stats"])
     assert float(loss) > 0
     assert pred.shape == (2, 8 * 8, 3)  # masked groups x group_size
+
+
+def test_masked_point_group(rng_np):
+    from adaptpoint_tpu.models import build_model_from_cfg
+    m = build_model_from_cfg({
+        "NAME": "MaskedPointGroup",
+        "encoder_args": {"embed_dim": 32, "depth": 1, "num_heads": 2},
+        "decoder_args": {"embed_dim": 32, "depth": 1, "num_heads": 2},
+        "mask_ratio": 0.75, "group_size": 8, "sample_ratio": 0.25})
+    xyz = jnp.asarray(rng_np.standard_normal((2, 64, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "masking": jax.random.PRNGKey(1)}, xyz)
+    loss, pred = m.apply(v, xyz, rngs={"masking": jax.random.PRNGKey(2)})
+    assert jnp.isfinite(loss) and pred.shape == (2, 16 * 8, 3)
+    g = jax.grad(lambda p: m.apply({"params": p}, xyz,
+                                   rngs={"masking": jax.random.PRNGKey(2)})[0]
+                 )(v["params"])
+    assert all(bool(jnp.isfinite(a).all()) for a in jax.tree.leaves(g))
