@@ -127,3 +127,82 @@ void kdtree_knn(const float* support, int64_t n, const float* queries,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Persistent tree wrapper owning a copy of the points (handle API).
+struct OwnedTree {
+  std::vector<float> pts;
+  Tree tree;
+};
+
+void radius_collect(const Tree& t, int32_t node, const float* q, float r2,
+                    std::vector<std::pair<float, int32_t>>& out) {
+  if (node < 0) return;
+  const Node& n = t.nodes[node];
+  const float* p = t.pts + n.idx * 3;
+  float dx = q[0] - p[0], dy = q[1] - p[1], dz = q[2] - p[2];
+  float d2 = dx * dx + dy * dy + dz * dz;
+  if (d2 <= r2) out.emplace_back(d2, n.idx);
+  float delta = q[n.axis] - p[n.axis];
+  int32_t near = delta < 0 ? n.left : n.right;
+  int32_t far = delta < 0 ? n.right : n.left;
+  radius_collect(t, near, q, r2, out);
+  if (delta * delta <= r2) radius_collect(t, far, q, r2, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build a persistent tree over (n,3) f32 points; returns an opaque handle.
+void* kdtree_build(const float* points, int64_t n) {
+  OwnedTree* o = new OwnedTree();
+  o->pts.assign(points, points + n * 3);
+  o->tree.pts = o->pts.data();
+  std::vector<int32_t> ids(n);
+  for (int64_t i = 0; i < n; ++i) ids[i] = static_cast<int32_t>(i);
+  o->tree.nodes.reserve(n);
+  o->tree.root = o->tree.build(ids, 0, static_cast<int>(n), 0);
+  return o;
+}
+
+void kdtree_free(void* handle) { delete static_cast<OwnedTree*>(handle); }
+
+// kNN against a persistent tree (same output layout as kdtree_knn).
+void kdtree_query(void* handle, const float* queries, int64_t m, int32_t k,
+                  int32_t* out_idx, float* out_d2) {
+  OwnedTree* o = static_cast<OwnedTree*>(handle);
+  std::vector<float> hd(k);
+  std::vector<int32_t> hi(k);
+  for (int64_t qi = 0; qi < m; ++qi) {
+    Heap heap{hd.data(), hi.data(), k, 0};
+    search(o->tree, o->tree.root, queries + qi * 3, heap);
+    std::vector<std::pair<float, int32_t>> items(heap.n);
+    for (int j = 0; j < heap.n; ++j) items[j] = {hd[j], hi[j]};
+    std::sort(items.begin(), items.end());
+    for (int j = 0; j < k; ++j) {
+      int src = j < heap.n ? j : heap.n - 1;
+      out_idx[qi * k + j] = items[src].second;
+      out_d2[qi * k + j] = items[src].first;
+    }
+  }
+}
+
+// All points within radius r of query (sorted by distance ascending,
+// truncated to max_out). Returns the number written.
+int64_t kdtree_radius(void* handle, const float* query, float r,
+                      int64_t max_out, int32_t* out_idx, float* out_d2) {
+  OwnedTree* o = static_cast<OwnedTree*>(handle);
+  std::vector<std::pair<float, int32_t>> items;
+  radius_collect(o->tree, o->tree.root, query, r * r, items);
+  std::sort(items.begin(), items.end());
+  int64_t cnt = std::min<int64_t>(items.size(), max_out);
+  for (int64_t j = 0; j < cnt; ++j) {
+    out_idx[j] = items[j].second;
+    out_d2[j] = items[j].first;
+  }
+  return cnt;
+}
+
+}  // extern "C"

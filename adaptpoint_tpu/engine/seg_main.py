@@ -52,12 +52,19 @@ def make_seg_steps(model, tx, criterion, cfg):
         x = _features(batch, cfg)
         y = batch["y"]
 
+        use_mask = ("mask" in cfg.get("criterion_args", {}).get(
+            "NAME", "").lower() and "mask" in batch)
+
         def loss_fn(params):
             logits, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 pos, x, training=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
-            return criterion(logits, y), (logits, updates["batch_stats"])
+            # sphere batches: padded points excluded via MaskedCrossEntropy
+            # (parity: examples/segmentation/main.py:354-355)
+            loss = (criterion(logits, y, batch["mask"]) if use_mask
+                    else criterion(logits, y))
+            return loss, (logits, updates["batch_stats"])
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -90,7 +97,104 @@ def validate_seg(eval_step, state, loader, mesh, cfg):
     return miou, macc, oa, ious, accs
 
 
+def make_sphere_logits_step(model, cfg):
+    """Eval step that returns raw logits (for sphere vote accumulation)."""
+    @jax.jit
+    def logits_step(state: TrainState, batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["pos"], _features(batch, cfg), training=False)
+    return logits_step
+
+
+def validate_sphere(logits_step, state, loader, mesh, cfg):
+    """Sphere-overlap validation (parity:
+    examples/segmentation/main.py:433-506 validate_sphere): average logits of
+    overlapping sphere predictions onto the subsampled cloud, project to the
+    original points via the dataset's precomputed nearest-subpoint indices,
+    then score. Scatter-mean is a host-side np.add.at (one pass, tiny next to
+    the model forwards)."""
+    ds = loader.dataset
+    sums = [np.zeros((p.shape[0], cfg.num_classes), np.float64)
+            for p in ds.sub_points]
+    counts = [np.zeros(p.shape[0], np.int64) for p in ds.sub_points]
+    for batch in loader:
+        n_valid = int(batch.pop("n_valid", len(batch["y"])))
+        inds = np.asarray(batch.pop("input_inds"))[:n_valid]
+        clouds = np.asarray(batch.pop("cloud_index"))[:n_valid]
+        sb = shard_batch(mesh, batch)
+        logits = np.asarray(logits_step(state, sb))[:n_valid]
+        for b in range(n_valid):
+            ci = int(clouds[b])
+            np.add.at(sums[ci], inds[b], logits[b])
+            np.add.at(counts[ci], inds[b], 1)
+    cm = ConfusionMatrix(num_classes=cfg.num_classes,
+                         ignore_index=cfg.get("ignore_index"))
+    for ci in range(len(sums)):
+        seen = counts[ci] > 0
+        sub_pred = np.argmax(sums[ci], -1)
+        proj = ds.projections[ci]
+        keep = seen[proj]
+        cm.update(sub_pred[proj][keep], ds.clouds_labels[ci][keep])
+    miou, macc, oa, ious, accs = get_mious(cm.tp, cm.union, cm.count)
+    return miou, macc, oa, ious, accs
+
+
+def main_6fold(cfg):
+    """S3DIS 6-fold cross-validated test (parity:
+    examples/segmentation/test_s3dis_6fold.py:23-45): evaluate one
+    pretrained checkpoint per held-out area, accumulate a global confusion
+    matrix, and report per-area + overall metrics. ``pretrained_path`` is a
+    format string with ``{area}`` (e.g. .../area{area}_best.msgpack)."""
+    mesh = get_mesh()
+    model = build_model_from_cfg(cfg.model)
+    criterion = build_criterion_from_cfg(cfg.criterion_args)
+    total = ConfusionMatrix(num_classes=cfg.num_classes,
+                            ignore_index=cfg.get("ignore_index"))
+    results = {}
+    for area in range(1, 7):
+        cfg.dataset.common.test_area = area
+        val_loader = build_dataloader_from_cfg(
+            cfg.get("val_batch_size", cfg.batch_size), cfg.dataset,
+            cfg.dataloader, datatransforms_cfg=cfg.datatransforms,
+            split="val", seed=cfg.get("seed") or 0)
+        example = next(iter(val_loader))
+        pos = jnp.asarray(example["pos"][:2])
+        x = _features({k: jnp.asarray(v[:2]) for k, v in example.items()
+                       if k != "n_valid"}, cfg)
+        variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+        tx = build_optimizer_from_cfg(variables["params"], lr=cfg.lr,
+                                      **dict(cfg.optimizer))
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats",
+                                                     FrozenDict()),
+                           opt_state=tx.init(variables["params"]),
+                           step=jnp.zeros((), jnp.int32))
+        path = cfg.pretrained_path.format(area=area)
+        payload, e, _ = load_checkpoint(_state_payload(state), path)
+        state = _restore_state(state, payload)
+        _, eval_step = make_seg_steps(model, tx, criterion, cfg)
+        cm = ConfusionMatrix(num_classes=cfg.num_classes,
+                             ignore_index=cfg.get("ignore_index"))
+        for batch in val_loader:
+            n_valid = int(batch.pop("n_valid", len(batch["y"])))
+            preds = np.asarray(eval_step(state, shard_batch(mesh, batch)))
+            cm.update(preds[:n_valid], np.asarray(batch["y"])[:n_valid])
+        total.value = total.value + cm.value
+        miou, macc, oa, ious, _ = get_mious(cm.tp, cm.union, cm.count)
+        logging.info("Area %d: miou %.2f macc %.2f oa %.2f",
+                     area, miou, macc, oa)
+        results[area] = {"miou": miou, "macc": macc, "oa": oa}
+    miou, macc, oa, ious, _ = get_mious(total.tp, total.union, total.count)
+    logging.info("6-fold overall: miou %.2f macc %.2f oa %.2f ious %s",
+                 miou, macc, oa, np.round(ious, 2))
+    results["overall"] = {"miou": miou, "macc": macc, "oa": oa}
+    return results
+
+
 def main(cfg):
+    if cfg.get("mode") == "test_6fold":
+        return main_6fold(cfg)
     seed = cfg.get("seed") or 0
     rng = set_random_seed(seed)
     mesh = get_mesh()
@@ -132,12 +236,21 @@ def main(cfg):
     lr_fn = build_scheduler_from_cfg(cfg)
     train_step, eval_step = make_seg_steps(model, tx, criterion, cfg)
 
+    sphere = "sphere" in cfg.dataset.common.NAME.lower()
+    if sphere:
+        logits_step = make_sphere_logits_step(model, cfg)
+
+        def _validate(st):
+            return validate_sphere(logits_step, st, val_loader, mesh, cfg)
+    else:
+        def _validate(st):
+            return validate_seg(eval_step, st, val_loader, mesh, cfg)
+
     if cfg.get("pretrained_path") and cfg.get("mode") in ("test", "val"):
         payload, e, _ = load_checkpoint(_state_payload(state),
                                         cfg.pretrained_path)
         state = _restore_state(state, payload)
-        miou, macc, oa, ious, _ = validate_seg(eval_step, state, val_loader,
-                                               mesh, cfg)
+        miou, macc, oa, ious, _ = _validate(state)
         logging.info("test: miou %.2f macc %.2f oa %.2f", miou, macc, oa)
         return miou
 
@@ -155,8 +268,7 @@ def main(cfg):
         miou = macc = oa = 0.0
         is_best = False
         if epoch % cfg.val_freq == 0:
-            miou, macc, oa, ious, _ = validate_seg(eval_step, state,
-                                                   val_loader, mesh, cfg)
+            miou, macc, oa, ious, _ = _validate(state)
             is_best = miou > best_miou
             if is_best:
                 best_miou = miou

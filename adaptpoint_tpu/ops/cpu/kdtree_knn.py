@@ -10,7 +10,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -89,3 +89,84 @@ def knn_search(support_pts: np.ndarray, query_pts: np.ndarray, k: int
         return kdtree_knn(support_pts, query_pts, k)[0]
     return np.stack([kdtree_knn(s, q, k)[0]
                      for s, q in zip(support_pts, query_pts)])
+
+
+class KDTree:
+    """Persistent KD-tree with kNN + sorted radius queries (parity: the
+    sklearn KDTree used by openpoints/dataset/s3dis/s3dis_sphere.py:167,
+    query_radius(sort_results=True) + query). C++ handle API with a numpy
+    fallback. Not pickled — rebuild from points on load (build is O(N log N))."""
+
+    def __init__(self, points: np.ndarray):
+        self.points = np.ascontiguousarray(points, np.float32)
+        self._handle = None
+        lib = _load()
+        if lib is not False:
+            if not hasattr(lib, "kdtree_build_ok"):
+                lib.kdtree_build.restype = ctypes.c_void_p
+                lib.kdtree_build.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                             ctypes.c_int64]
+                lib.kdtree_free.argtypes = [ctypes.c_void_p]
+                lib.kdtree_query.restype = None
+                lib.kdtree_query.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float)]
+                lib.kdtree_radius.restype = ctypes.c_int64
+                lib.kdtree_radius.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_float, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float)]
+                lib.kdtree_build_ok = True
+            fp = ctypes.POINTER(ctypes.c_float)
+            self._handle = lib.kdtree_build(
+                self.points.ctypes.data_as(fp), self.points.shape[0])
+            self._lib = lib
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.kdtree_free(self._handle)
+            self._handle = None
+
+    def __getstate__(self):  # pickle: points only, rebuild on load
+        return {"points": self.points}
+
+    def __setstate__(self, state):
+        self.__init__(state["points"])
+
+    def query(self, queries: np.ndarray, k: int = 1):
+        """(M,3) -> (idx (M,k), d2 (M,k)) sorted ascending."""
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if self._handle is None:
+            return _numpy_knn(self.points, queries, k)
+        m = queries.shape[0]
+        out_idx = np.empty((m, k), np.int32)
+        out_d2 = np.empty((m, k), np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        self._lib.kdtree_query(self._handle, queries.ctypes.data_as(fp), m, k,
+                               out_idx.ctypes.data_as(ip),
+                               out_d2.ctypes.data_as(fp))
+        return out_idx, out_d2
+
+    def query_radius(self, query: np.ndarray, r: float,
+                     max_out: Optional[int] = None) -> np.ndarray:
+        """Indices within r of a single (3,) query, sorted by distance."""
+        query = np.ascontiguousarray(query, np.float32).reshape(-1)[:3]
+        if max_out is None:
+            max_out = self.points.shape[0]
+        if self._handle is None:
+            d2 = ((self.points - query[None, :]) ** 2).sum(-1)
+            idx = np.where(d2 <= r * r)[0]
+            order = np.argsort(d2[idx], kind="stable")
+            return idx[order][:max_out].astype(np.int32)
+        out_idx = np.empty(max_out, np.int32)
+        out_d2 = np.empty(max_out, np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        n = self._lib.kdtree_radius(self._handle, query.ctypes.data_as(fp),
+                                    r, max_out, out_idx.ctypes.data_as(ip),
+                                    out_d2.ctypes.data_as(fp))
+        return out_idx[:n]
