@@ -1,1 +1,1 @@
-from . import pointnext, dgcnn, pointnetv2, pointnet, pointmlp, pointvit, deepgcn, curvenet, pointtransformer, simpleview, randlanet, grouppointnet, baafnet  # noqa: F401
+from . import pointnext, dgcnn, pointnetv2, pointnet, pointmlp, pointvit, deepgcn, curvenet, pointtransformer, simpleview, randlanet, grouppointnet, baafnet, stratified_transformer  # noqa: F401

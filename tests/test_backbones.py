@@ -176,3 +176,50 @@ def test_baafnet(rng_np):
     out2, _ = m.apply(v, pos, x, True, mutable=["batch_stats"],
                       rngs={"dropout": jax.random.PRNGKey(1)})
     assert jnp.isfinite(out2).all()
+
+
+def test_stratified_window_keys_match_bruteforce(rng_np):
+    """The hashed-bucket key sets must reproduce get_indice_pairs semantics:
+    fine pairs = same fine window; stratified keys = downsampled points in
+    the same 2x coarse window but a different fine window."""
+    from adaptpoint_tpu.models.backbone.stratified_transformer import (
+        _stratified_keys, _window_coords)
+    xyz = jnp.asarray(rng_np.random((1, 64, 3)) * 2.0, jnp.float32)
+    ws = 0.5
+    ds_idx = jnp.asarray(rng_np.choice(64, 16, replace=False)[None],
+                         jnp.int32)
+    key_idx, key_mask = _stratified_keys(
+        xyz, ws, shifted=False, ds_idx=ds_idx, num_buckets=64, capacity=64,
+        ds_capacity=16)
+    wc = np.asarray(_window_coords(xyz, ws, False))[0]
+    cwc = np.asarray(_window_coords(xyz, 2 * ws, False))[0]
+    is_ds = np.zeros(64, bool)
+    is_ds[np.asarray(ds_idx)[0]] = True
+    ki, km = np.asarray(key_idx)[0], np.asarray(key_mask)[0]
+    for i in range(64):
+        got = set(ki[i][km[i]].tolist())
+        fine = {j for j in range(64) if (wc[j] == wc[i]).all()}
+        strat = {j for j in range(64)
+                 if is_ds[j] and (cwc[j] == cwc[i]).all()
+                 and not (wc[j] == wc[i]).all()}
+        assert got == fine | strat, (i, got, fine | strat)
+
+
+def test_stratified_transformer(rng_np):
+    from adaptpoint_tpu.models import build_model_from_cfg
+    m = build_model_from_cfg({
+        "NAME": "StratifiedTransformer", "num_classes": 13,
+        "encoder_args": {"in_channels": 4, "channels": [16, 32],
+                         "depths": [2, 2], "num_heads": [2, 4],
+                         "window_size": 0.8, "quant_size": 0.05,
+                         "grid_size": 0.2, "num_buckets": 32,
+                         "capacity": 16, "ds_capacity": 8}})
+    xyz = jnp.asarray(rng_np.random((2, 128, 3)) * 4, jnp.float32)
+    x = jnp.concatenate([xyz, xyz[..., 2:3]], -1)
+    v = m.init({"params": jax.random.PRNGKey(0)}, xyz, x, True)
+    out, _ = m.apply(v, xyz, x, True, mutable=["batch_stats"])
+    assert out.shape == (2, 128, 13) and bool(jnp.isfinite(out).all())
+    g = jax.grad(lambda p: m.apply({**v, "params": p}, xyz, x, True,
+                                   mutable=["batch_stats"])[0].sum()
+                 )(v["params"])
+    assert all(bool(jnp.isfinite(a).all()) for a in jax.tree.leaves(g))
