@@ -1,1 +1,1 @@
-from . import cls_base  # noqa: F401
+from . import cls_base, point_bert  # noqa: F401

@@ -78,6 +78,7 @@ def main():
     @jax.jit
     def d_fwd(dvars, x):
         out, _ = discriminator.apply(dvars, x, training=True,
+                                     rngs={"dropout": jax.random.PRNGKey(5)},
                                      mutable=["batch_stats"])
         return out
 
@@ -88,7 +89,8 @@ def main():
         def loss(p):
             out, _ = discriminator.apply(
                 {"params": p, "batch_stats": gan_state.d_bs}, x,
-                training=True, mutable=["batch_stats"])
+                training=True, rngs={"dropout": jax.random.PRNGKey(5)},
+                mutable=["batch_stats"])
             return jnp.mean(out ** 2)
         return jax.grad(loss)(params)
 
@@ -126,6 +128,7 @@ def main():
                 training=True, mutable=["batch_stats"], rngs=rngs)
             f = out[1] if isinstance(out, tuple) else out
             dsc, _ = discriminator.apply(dvars, f, training=True,
+                                         rngs={"dropout": jax.random.PRNGKey(5)},
                                          mutable=["batch_stats"])
             x = jnp.concatenate([f, f[..., 2:3]], -1)
             logits, _ = model.apply(cvars, f, x, training=True,

@@ -223,3 +223,16 @@ def test_stratified_transformer(rng_np):
                                    mutable=["batch_stats"])[0].sum()
                  )(v["params"])
     assert all(bool(jnp.isfinite(a).all()) for a in jax.tree.leaves(g))
+
+
+def test_pointbert(rng_np):
+    from adaptpoint_tpu.models import build_model_from_cfg
+    m = build_model_from_cfg({"NAME": "PointBERT", "num_classes": 15,
+                              "embed_dim": 64, "depth": 2, "num_heads": 4,
+                              "encoder_dims": 64, "num_groups": 32,
+                              "group_size": 8})
+    pts = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, pts, training=False)
+    assert m.apply(v, pts, training=False).shape == (2, 15)
+    feat = m.apply(v, pts, training=False, method="forward_cls_feat")
+    assert feat.shape == (2, 128)  # [cls || max-token]
