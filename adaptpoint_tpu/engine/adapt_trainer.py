@@ -58,11 +58,11 @@ def build_gan(cfg, example_cloud, rng):
     discriminator = build_adaptpointmodels_from_cfg(cfg.adaptmodel_dis)
 
     rg, rd, rw, rgum = jax.random.split(rng, 4)
-    g_vars = generator.init(
+    g_vars = jax.jit(generator.init, static_argnames=("training",))(
         {"params": rg, "wolf": rw, "gumbel": rgum}, example_cloud,
         training=False)
-    d_vars = discriminator.init({"params": rd, "dropout": rd}, example_cloud,
-                                training=False)
+    d_vars = jax.jit(discriminator.init, static_argnames=("training",))(
+        {"params": rd, "dropout": rd}, example_cloud, training=False)
 
     tx_g = optax.adam(params_cfg.lr_generator, b1=params_cfg.b1, b2=params_cfg.b2)
     tx_d = optax.adam(params_cfg.lr_discriminator, b1=params_cfg.b1,

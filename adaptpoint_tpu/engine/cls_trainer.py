@@ -162,7 +162,8 @@ def init_state(cfg, model, tx, rng, example_batch) -> TrainState:
     in_channels = int(cfg.model.get("in_channels", None)
                       or cfg.model.encoder_args.in_channels)
     x = jnp.asarray(example_batch["x"][:2, :, :in_channels])
-    variables = model.init(rng, pos, x, training=False)
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        rng, pos, x, training=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     opt_state = tx.init(params)

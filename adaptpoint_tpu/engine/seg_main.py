@@ -162,7 +162,8 @@ def main_6fold(cfg):
         pos = jnp.asarray(example["pos"][:2])
         x = _features({k: jnp.asarray(v[:2]) for k, v in example.items()
                        if k != "n_valid"}, cfg)
-        variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+        variables = jax.jit(model.init, static_argnames=("training",))(
+            jax.random.PRNGKey(0), pos, x, training=False)
         tx = build_optimizer_from_cfg(variables["params"], lr=cfg.lr,
                                       **dict(cfg.optimizer))
         state = TrainState(params=variables["params"],
@@ -224,7 +225,8 @@ def main(cfg):
     pos = jnp.asarray(example["pos"][:2])
     x = _features({k: jnp.asarray(v[:2]) for k, v in example.items()
                    if k != "n_valid"}, cfg)
-    variables = model.init(init_rng, pos, x, training=False)
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        init_rng, pos, x, training=False)
     params = variables["params"]
     tx = build_optimizer_from_cfg(params, lr=cfg.lr,
                                   grad_norm_clip=cfg.get("grad_norm_clip"),

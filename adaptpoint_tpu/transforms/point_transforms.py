@@ -339,3 +339,45 @@ class ChromaticNormalize:
             rgb = (rgb - self.color_mean) / self.color_std
         data["x"][:, :3] = rgb
         return data
+
+
+def mixup_target(target: np.ndarray, num_classes: int, lam: float,
+                 smoothing: float = 0.0) -> np.ndarray:
+    """Soft mixed one-hot targets (parity: timm mixup_target used by
+    point_transformer_gpu.py:458-461)."""
+    off = smoothing / num_classes
+    on = 1.0 - smoothing + off
+    y1 = np.full((len(target), num_classes), off, np.float32)
+    y1[np.arange(len(target)), target] = on
+    y2 = y1[::-1].copy()
+    return y1 * lam + y2 * (1.0 - lam)
+
+
+class Cutmix:
+    """Batch-level point cutmix (parity: point_transformer_gpu.py:425-461):
+    swap the trailing lam-fraction of points with the batch-flipped clouds
+    and mix the targets. Applied host-side on the collated batch before
+    upload (the reference applies it on the GPU batch)."""
+
+    def __init__(self, cutmix_alpha=0.3, prob=1.0, label_smoothing=0.1,
+                 num_classes=1000, **kwargs):
+        self.cutmix_alpha = cutmix_alpha
+        self.mix_prob = prob
+        self.label_smoothing = label_smoothing
+        self.num_classes = num_classes
+
+    def __call__(self, batch: dict, rng: np.random.Generator):
+        target = np.asarray(batch["y"])
+        if rng.random() > self.mix_prob:
+            y = mixup_target(target, self.num_classes, 1.0,
+                             self.label_smoothing)
+            return batch, y
+        lam = float(rng.beta(self.cutmix_alpha, self.cutmix_alpha))
+        n = batch["pos"].shape[1]
+        n_mix = int(n * lam)
+        if n_mix > 0:
+            batch["pos"][:, -n_mix:] = batch["pos"][::-1][:, -n_mix:]
+            if "x" in batch:
+                batch["x"][:, -n_mix:] = batch["x"][::-1][:, -n_mix:]
+        y = mixup_target(target, self.num_classes, lam, self.label_smoothing)
+        return batch, y
