@@ -92,17 +92,24 @@ def main():
         cfg, jnp.asarray(batch["x"][:2, :, :3]), key)
     gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, model, cfg)
     sb = shard_batch(mesh, batch)
+    hr = jnp.float32(3.0)  # hoisted: fresh eager scalars per iter stall axon
     t0 = time.perf_counter()
-    gan_state, gen, gm = gan_step(gan_state, state, sb, key, jnp.float32(3.0))
-    jax.block_until_ready(gen)
+    gan_state, gen, gm = gan_step(gan_state, state, sb, key, hr)
+    _ = np.asarray(gen)  # forced fetch = true completion
     compile_s = time.perf_counter() - t0
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        gan_state, gen, gm = gan_step(gan_state, state, sb, key,
-                                      jnp.float32(3.0))
-    jax.block_until_ready(gen)
-    dt = (time.perf_counter() - t0) / iters
+
+    def run(k, gs0):
+        gs = gs0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            gs, gen, _gm = gan_step(gs, state, sb, key, hr)
+        np.asarray(gen)
+        return time.perf_counter() - t0
+
+    run(2, gan_state)  # absorb any post-compile cache-write stall
+    # per-iter cost from the slope (subtracts fixed dispatch/fetch overhead)
+    t5, t20 = run(5, gan_state), run(20, gan_state)
+    dt = (t20 - t5) / 15
     print(f"  GAN step (B={B}, N={N}): {dt*1e3:.1f} ms "
           f"({B/dt:.0f} clouds/s phase-A) g={float(gm['g_loss']):.3f} "
           f"d={float(gm['d_loss']):.3f} fb={float(gm['feedback']):.3f} "
