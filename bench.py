@@ -41,18 +41,31 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
 
     def timed_throughput():
+        # Honest axon timing (see .claude/skills/verify/SKILL.md): chain each
+        # iteration on the previous output so the remote execution layer
+        # cannot short-circuit repeated identical calls; force np.asarray
+        # host fetch; take the cost as the slope between two iteration
+        # counts to cancel fixed dispatch/fetch overhead and one-off stalls.
         @jax.jit
-        def forward(p, f):
-            return model.apply(variables, p, f, training=False)
+        def forward(p):
+            f = jnp.concatenate([p, jnp.abs(p[..., 1:2])], axis=-1)
+            logits = model.apply(variables, p, f, training=False)
+            return p + 1e-30 * jnp.sum(logits), logits
 
-        forward(pos, x).block_until_ready()  # compile
-        # timed loop (reference: examples/profile.py:93-105)
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward(pos, x)
-        out.block_until_ready()
-        return B / ((time.perf_counter() - t0) / iters)
+        _, out = forward(pos)
+        np.asarray(out)  # compile + settle
+
+        def run(iters):
+            p = pos
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, out = forward(p)
+            np.asarray(out)
+            return time.perf_counter() - t0
+
+        run(3)  # absorb post-compile cache-write stall
+        t_lo, t_hi = run(5), run(25)
+        return B / ((t_hi - t_lo) / 20)
 
     try:
         clouds_per_sec = timed_throughput()

@@ -126,3 +126,24 @@ def test_hsv_roundtrip_matches_colorsys():
     ref = np.array([colorsys.rgb_to_hsv(*p) for p in rgb])
     assert np.abs(hsv - ref).max() < 1e-9
     assert np.abs(H.hsv_to_rgb(hsv) - rgb).max() < 1e-9
+
+
+def test_cutmix_batch():
+    from adaptpoint_tpu.transforms.point_transforms import Cutmix, mixup_target
+    rng = np.random.default_rng(0)
+    batch = {"pos": rng.standard_normal((4, 32, 3)).astype(np.float32),
+             "x": rng.standard_normal((4, 32, 4)).astype(np.float32),
+             "y": np.array([0, 1, 2, 3])}
+    orig = batch["pos"].copy()
+    b, y = Cutmix(num_classes=5, label_smoothing=0.0)(batch, rng)
+    assert y.shape == (4, 5)
+    assert np.allclose(y.sum(1), 1.0, atol=1e-5)
+    # row 0 mixes class 0 with flipped class 3 only
+    assert y[0][1] == 0 and y[0][2] == 0
+    # leading points untouched, trailing swapped with the batch-flip
+    assert (b["pos"][0, 0] == orig[0, 0]).all()
+    lam = y[0][0]
+    n_mix = int(32 * lam) if False else None  # lam = kept fraction
+    # smoothing path
+    y2 = mixup_target(np.array([1]), 4, 0.5, smoothing=0.1)
+    assert abs(y2.sum() - 1.0) < 1e-5
