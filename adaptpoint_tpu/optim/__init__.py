@@ -58,8 +58,43 @@ def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
             return tx
         if name == "adagrad":
             return optax.adagrad(learning_rate)
-        if name == "rmsprop":
-            return optax.rmsprop(learning_rate, momentum=momentum, eps=eps)
+        if name in ("rmsprop", "rmsproptf", "rmsprop_tf"):
+            # rmsprop_tf: eps inside sqrt + centered-uncentered tf semantics
+            # (optim_factory.py rmsprop_tf branch)
+            return optax.rmsprop(learning_rate, decay=kwargs.get("alpha", 0.9),
+                                 momentum=momentum, eps=eps,
+                                 eps_in_sqrt=name != "rmsprop")
+        if name == "adabelief":
+            tx = optax.adabelief(learning_rate, b1=betas[0], b2=betas[1],
+                                 eps=eps)
+            if weight_decay:
+                tx = optax.chain(
+                    optax.add_decayed_weights(weight_decay, mask=mask), tx)
+            return tx
+        if name == "adafactor":
+            return optax.adafactor(learning_rate,
+                                   weight_decay_rate=weight_decay or None,
+                                   weight_decay_mask=mask)
+        if name == "nadam":
+            tx = optax.nadam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+            if weight_decay:
+                tx = optax.chain(
+                    optax.add_decayed_weights(weight_decay, mask=mask), tx)
+            return tx
+        if name == "nadamw":
+            return optax.nadamw(learning_rate, b1=betas[0], b2=betas[1],
+                                eps=eps, weight_decay=weight_decay, mask=mask)
+        if name in ("novograd", "nvnovograd"):
+            tx = optax.novograd(learning_rate, b1=betas[0], b2=betas[1],
+                                eps=eps, weight_decay=weight_decay)
+            return tx
+        if name == "lookahead":
+            # timm Lookahead wraps an inner optimizer (default adamw)
+            inner = optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
+                                eps=eps, weight_decay=weight_decay, mask=mask)
+            return optax.lookahead(inner,
+                                   sync_period=int(kwargs.get("k", 6)),
+                                   slow_step_size=kwargs.get("alpha", 0.5))
         raise ValueError(f"unsupported optimizer {NAME}")
 
     tx = optax.inject_hyperparams(base)(learning_rate=lr)

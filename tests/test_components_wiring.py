@@ -147,3 +147,20 @@ def test_cutmix_batch():
     # smoothing path
     y2 = mixup_target(np.array([1]), 4, 0.5, smoothing=0.1)
     assert abs(y2.sum() - 1.0) < 1e-5
+
+
+def test_optimizer_factory_full_sweep():
+    import optax
+    from adaptpoint_tpu.optim import build_optimizer_from_cfg
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones(4)}
+    grads = jax.tree.map(jnp.ones_like, params)
+    for name in ["adamw", "adam", "sgd", "lamb", "lars", "radam", "adagrad",
+                 "rmsprop", "rmsprop_tf", "adabelief", "adafactor", "nadam",
+                 "nadamw", "novograd"]:
+        tx = build_optimizer_from_cfg(params, lr=0.01, NAME=name,
+                                      weight_decay=1e-4)
+        st = tx.init(params)
+        up, st = tx.update(grads, st, params)
+        p2 = optax.apply_updates(params, up)
+        assert all(bool(jnp.isfinite(x).all())
+                   for x in jax.tree.leaves(p2)), name
