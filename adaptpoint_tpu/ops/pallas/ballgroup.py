@@ -48,6 +48,22 @@ def _split3(x):
     return hi, mid, lo
 
 
+def gather_splits() -> int:
+    """Value-gather precision for the one-hot MXU gathers.
+
+    2 (default) reconstructs ~19 mantissa bits (maxerr ~1e-4 on unit-scale
+    clouds) and is ~30% faster at the PointNeXt stage-1 shape; 3 is the
+    bit-exact golden mode (matches the XLA gather bit-for-bit); 1 is plain
+    bf16. Ball-query SELECTION is exact f32 in every mode — only gathered
+    dp/fj/fi values round. Set ``ADAPTPOINT_TPU_GATHER_SPLITS=3`` for
+    golden-value comparisons."""
+    import os
+    v = int(os.environ.get("ADAPTPOINT_TPU_GATHER_SPLITS", "2"))
+    if v not in (1, 2, 3):
+        raise ValueError(f"ADAPTPOINT_TPU_GATHER_SPLITS must be 1|2|3, got {v}")
+    return v
+
+
 def _oh_matmul(oh_bf16, hi, mid, lo):
     """one-hot (T,N)bf16 @ 3-split (N,C) -> exact f32 (T,C)."""
     g = jnp.dot(oh_bf16, hi, preferred_element_type=jnp.float32)
@@ -59,7 +75,7 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
 def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
                 fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
-                normalize_dp: bool):
+                normalize_dp: bool, splits: int = 3):
     # xyz_ref (1,N,3) f32 | qidx_ref (1,TM,1) i32
     # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
     # (packed in XLA behind optimization_barriers so each per-k gather is ONE
@@ -95,10 +111,13 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
     mask_scr[:] = inball
     idxacc_scr[:] = jnp.zeros((tm, K), jnp.int32)
 
-    fcat = fcat_ref[0]  # (N, 3w) bf16
+    fcat = fcat_ref[0]  # (N, splits*w) bf16
     # center features at the query indices (kills the use_res/'df' XLA gather)
     rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
-    fi_ref[0] = (rq[:, :w] + rq[:, w:2 * w] + rq[:, 2 * w:3 * w])[:, 3:]
+    rq_sum = rq[:, :w]
+    for _s in range(1, splits):
+        rq_sum = rq_sum + rq[:, _s * w:(_s + 1) * w]
+    fi_ref[0] = rq_sum[:, 3:]
     BIG = jnp.int32(2 ** 30)
 
     def body(k, first_idx):
@@ -112,8 +131,10 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
         mask_scr[:] = mask & (lane != val)
         idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
         oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
-        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)  # (TM,3w)
-        g = r[:, :w] + r[:, w:2 * w] + r[:, 2 * w:3 * w]  # (TM, w) exact f32
+        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)
+        g = r[:, :w]
+        for _s in range(1, splits):
+            g = g + r[:, _s * w:(_s + 1) * w]  # (TM, w)
         dp = g[:, :3]
         if relative:
             dp = dp - q
@@ -214,15 +235,18 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
     tm = _pick_tm(M, n_pad, c_pad, K)
+    splits = gather_splits()
     fx = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
     # barrier each rounding step: XLA runs with allow_excess_precision and
     # would otherwise fuse the bf16 casts away, breaking the exact 3-split
-    hi = jax.lax.optimization_barrier(fx.astype(jnp.bfloat16))
-    r1 = fx - hi.astype(jnp.float32)
-    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-    lo = jax.lax.optimization_barrier(
-        (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
-    fcat = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, N, 3w) bf16
+    parts = [jax.lax.optimization_barrier(fx.astype(jnp.bfloat16))]
+    if splits >= 2:
+        r1 = fx - parts[0].astype(jnp.float32)
+        parts.append(jax.lax.optimization_barrier(r1.astype(jnp.bfloat16)))
+        if splits >= 3:
+            parts.append(jax.lax.optimization_barrier(
+                (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    fcat = jnp.concatenate(parts, axis=-1)  # (B, N, splits*w) bf16
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -230,7 +254,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     w = C + 3
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N, w=w,
-        relative=relative, normalize_dp=normalize_dp)
+        relative=relative, normalize_dp=normalize_dp, splits=splits)
     new_xyz, fi, dp, fj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
@@ -239,7 +263,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, 3 * w), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_pad, splits * w), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

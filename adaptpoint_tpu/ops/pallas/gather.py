@@ -16,21 +16,35 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ballgroup import _oh_matmul, _round_up, _split3
+from .ballgroup import _oh_matmul, _round_up, _split3, gather_splits
+
+
+def _oh_matmul_s(oh_bf16, x, splits: int):
+    """one-hot (T,N)bf16 @ (N,C) f32 via `splits`-way bf16 decomposition."""
+    hi = x.astype(jnp.bfloat16)
+    g = jnp.dot(oh_bf16, hi, preferred_element_type=jnp.float32)
+    if splits >= 2:
+        r1 = x - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        g += jnp.dot(oh_bf16, mid, preferred_element_type=jnp.float32)
+        if splits >= 3:
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            g += jnp.dot(oh_bf16, lo, preferred_element_type=jnp.float32)
+    return g
 
 __all__ = ["gather_rows_pallas"]
 
 
-def _fwd_kernel(pts_ref, idx_ref, out_ref):
+def _fwd_kernel(pts_ref, idx_ref, out_ref, *, splits: int = 3):
     # pts (1,N,C) f32 | idx (1,1,TM) i32 | out (1,TM,C)
     _, n_pad, _ = pts_ref.shape
     tm = idx_ref.shape[-1]
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     oh = (lane == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
-    out_ref[0] = _oh_matmul(oh, *_split3(pts_ref[0]))
+    out_ref[0] = _oh_matmul_s(oh, pts_ref[0], splits)
 
 
-def _bwd_kernel(idx_ref, g_ref, out_ref):
+def _bwd_kernel(idx_ref, g_ref, out_ref, *, splits: int = 3):
     # grid (B, M//TM); out (1,N,C) accumulated across t
     _, n_pad, _ = out_ref.shape
     tm = idx_ref.shape[-1]
@@ -41,7 +55,7 @@ def _bwd_kernel(idx_ref, g_ref, out_ref):
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     ohT = (lane == idx_ref[0, 0][:, None]).astype(jnp.bfloat16).T
-    out_ref[0] = out_ref[0] + _oh_matmul(ohT, *_split3(g_ref[0]))
+    out_ref[0] = out_ref[0] + _oh_matmul_s(ohT, g_ref[0], splits)
 
 
 def _fits(tm: int, n_pad: int, c_pad: int) -> bool:
@@ -90,7 +104,7 @@ def _call_fwd(points, idx):
     if m_pad != M:
         idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, splits=gather_splits()),
         grid=(B, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, n_pad, C), lambda b, t: (b, 0, 0),
@@ -120,7 +134,7 @@ def _bwd(res, g):
         idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
         g = jnp.pad(g, ((0, 0), (0, m_pad - M), (0, 0)))
     g_pts = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, splits=gather_splits()),
         grid=(b, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),

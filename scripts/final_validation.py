@@ -49,6 +49,9 @@ def main():
     ok &= check("gather_rows", gather_rows_pallas(x, idx),
                 index_points(x, idx), exact=True)
 
+    # golden sections pin the bit-exact 3-split gather mode
+    os.environ["ADAPTPOINT_TPU_GATHER_SPLITS"] = "3"
+
     # ball_group relative+normalized and raw (augmentor path)
     feats = jnp.asarray(rng.standard_normal((16, 512, 64)), jnp.float32)
 
@@ -65,6 +68,17 @@ def main():
         ok &= check(f"{tag} fi", got[1], ref[1])
         ok &= check(f"{tag} dpfj", got[2], ref[2])
         ok &= check(f"{tag} idx", got[3], ref[3], exact=True)
+
+    # fast default gather mode (2-split, ~19 mantissa bits): indices stay
+    # exact, values within 1e-3 of the f32 gather
+    os.environ.pop("ADAPTPOINT_TPU_GATHER_SPLITS", None)
+    got = ball_group(0.2, 16, x, idx, feats, True, True)
+    ref = _ball_group_xla(0.2, 16, x, idx, feats, True, True)
+    err = float(np.max(np.abs(np.asarray(got[2]) - np.asarray(ref[2]))))
+    idx_exact = bool((np.asarray(got[3]) == np.asarray(ref[3])).all())
+    print(f"  ballgroup fast-mode (2-split): maxerr={err:.2e} "
+          f"idx_exact={idx_exact}", flush=True)
+    ok &= (err < 1e-3) and idx_exact
 
     # one real GAN step on hardware (augmentor + discriminator + feedback)
     from adaptpoint_tpu.utils import EasyConfig
