@@ -139,3 +139,92 @@ class PointViT(nn.Module):
     def forward_seg_feat(self, p, x=None, training: bool = False):
         centers, hx = self._encode(p, x, training)
         return [p, centers], [x, hx[:, 1:, :]]
+
+
+class KMeansEmbed(nn.Module):
+    """K-means cluster centers as group centers, then kNN patch embedding
+    (parity: openpoints/models/layers/kmeans.py:8 KMeansEmbed)."""
+
+    num_groups: int = 256
+    group_size: int = 32
+    embed_dim: int = 384
+    in_channels: int = 3
+    n_iters: int = 10
+
+    @nn.compact
+    def __call__(self, p, x, training: bool = False):
+        from ..layers.kmeans import kmeans
+        _, centers = kmeans(p, self.num_groups, self.n_iters)
+        _, nidx = knn_point(min(self.group_size, p.shape[1]), p, centers)
+        grouped = index_points(x, nidx)
+        rel = index_points(p, nidx) - centers[:, :, None, :]
+        h = jnp.concatenate([rel, grouped], axis=-1)
+        h = ConvBlock(128, norm_args={"norm": "ln"}, act_args={"act": "gelu"})(
+            h, training)
+        h = ConvBlock(256, norm_args={"norm": "ln"}, act_args={"act": "gelu"})(
+            h, training)
+        h = jnp.max(h, axis=2)
+        h = nn.Dense(self.embed_dim, kernel_init=torch_linear_init)(h)
+        return centers, h
+
+
+@MODELS.register_module()
+class ViTGraph(nn.Module):
+    """Graph ViT for point clouds (parity:
+    openpoints/models/backbone/graphvit3d.py:11-134 ViTGraph): group or
+    k-means patch embedding, cls token + learned cls pos, per-block
+    positional addition, final LayerNorm; forward returns (centers, tokens)
+    with the cls token first."""
+
+    in_channels: int = 6
+    num_classes: int = 40
+    encoder_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    embed_args: Optional[dict] = None
+    norm_args: Optional[dict] = None
+    act_args: Optional[dict] = None
+
+    @property
+    def out_channels(self) -> int:
+        return self.encoder_dim
+
+    @nn.compact
+    def __call__(self, xyz, features=None, training: bool = False):
+        emb = dict(self.embed_args or {"NAME": "groupembed",
+                                       "num_groups": 256, "group_size": 32,
+                                       "embed_dim": 256})
+        name = emb.get("NAME", "groupembed").lower()
+        cls_embed = (KMeansEmbed if name == "kmeans" else PointPatchEmbed)
+        centers, h = cls_embed(
+            num_groups=int(emb.get("num_groups", 256)),
+            group_size=int(emb.get("group_size", 32)),
+            embed_dim=int(emb.get("embed_dim", 256)),
+            name="group_embed")(xyz, xyz if features is None else features,
+                                training)
+        h = nn.Dense(self.encoder_dim, kernel_init=torch_linear_init,
+                     name="proj_layer")(h)
+        b = h.shape[0]
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02),
+                               (1, 1, self.encoder_dim))
+        cls_pos = self.param("cls_pos", nn.initializers.normal(0.02),
+                             (1, 1, self.encoder_dim))
+        pos = nn.Dense(128, kernel_init=torch_linear_init, name="pos1")(centers)
+        pos = nn.gelu(pos)
+        pos = nn.Dense(self.encoder_dim, kernel_init=torch_linear_init,
+                       name="pos2")(pos)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.encoder_dim)), h], 1)
+        pos = jnp.concatenate(
+            [jnp.broadcast_to(cls_pos, (b, 1, self.encoder_dim)), pos], 1)
+        for i in range(self.depth):
+            h = TransformerBlock(self.encoder_dim, self.num_heads,
+                                 self.mlp_ratio, name=f"block{i}")(
+                h + pos, training)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        return centers, h
+
+    def forward_cls_feat(self, xyz, features=None, training: bool = False):
+        _, h = self(xyz, features, training)
+        return jnp.concatenate([h[:, 0], jnp.max(h[:, 1:], axis=1)], -1)

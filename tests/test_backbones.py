@@ -236,3 +236,22 @@ def test_pointbert(rng_np):
     assert m.apply(v, pts, training=False).shape == (2, 15)
     feat = m.apply(v, pts, training=False, method="forward_cls_feat")
     assert feat.shape == (2, 128)  # [cls || max-token]
+
+
+def test_vitgraph_and_resnet2d(rng_np):
+    from adaptpoint_tpu.models import build_model_from_cfg
+    xyz = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
+    for emb in ("groupembed", "kmeans"):
+        m = build_model_from_cfg({"NAME": "ViTGraph", "encoder_dim": 64,
+                                  "depth": 2, "num_heads": 4,
+                                  "embed_args": {"NAME": emb, "num_groups": 16,
+                                                 "group_size": 8,
+                                                 "embed_dim": 32}})
+        v = m.init({"params": jax.random.PRNGKey(0)}, xyz, training=False)
+        c, h = m.apply(v, xyz, training=False)
+        assert c.shape == (2, 16, 3) and h.shape == (2, 17, 64), emb
+    m = build_model_from_cfg({"NAME": "ResNet", "block": "basic",
+                              "layers": [1, 1, 1, 1], "num_classes": 10})
+    img = jnp.asarray(rng_np.standard_normal((2, 32, 32, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, img, training=False)
+    assert m.apply(v, img, training=False).shape == (2, 10)
