@@ -23,6 +23,54 @@ def weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
 
 
+def layer_decay_scales(params, decay: float) -> Any:
+    """Per-parameter LR multipliers for layer-wise decay (parity: the timm
+    layer-decay assigner used by optim_factory.py param_groups_layer_decay).
+
+    Depth is read from ``block<i>`` / ``layer<i>`` / ``blk<i>`` segments in
+    the param path; embeddings/stems get the deepest decay, the
+    head/classifier gets scale 1.0."""
+    import re
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    depths = {}
+    max_depth = 0
+    for path, _ in flat:
+        key = jax.tree_util.keystr(path)
+        m = re.search(r"(?:block|layer|blk)s?_?(\d+)", key)
+        depths[key] = int(m.group(1)) + 1 if m else None
+        if depths[key]:
+            max_depth = max(max_depth, depths[key])
+    num_layers = max_depth + 1
+
+    def scale_for(key):
+        d = depths[key]
+        if d is None:
+            low = any(t in key for t in ("embed", "stem", "patch", "pos"))
+            head = any(t in key for t in ("head", "cls", "fc", "norm'"))
+            if low:
+                d = 0
+            elif head:
+                d = num_layers
+            else:
+                d = num_layers
+        return decay ** (num_layers - d)
+
+    leaves = {path: scale_for(jax.tree_util.keystr(path)) for path, _ in flat}
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: leaves[path], params)
+
+
+def _scale_by_tree(scales) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree_util.tree_map(lambda u, s: u * s, updates,
+                                      scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
                              weight_decay: float = 0.0,
                              momentum: float = 0.9,
@@ -98,6 +146,10 @@ def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
         raise ValueError(f"unsupported optimizer {NAME}")
 
     tx = optax.inject_hyperparams(base)(learning_rate=lr)
+    layer_decay = kwargs.get("layer_decay")
+    if layer_decay is not None and 0.0 < float(layer_decay) < 1.0:
+        tx = optax.chain(tx, _scale_by_tree(
+            layer_decay_scales(params, float(layer_decay))))
     if grad_norm_clip is not None and grad_norm_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
     return tx

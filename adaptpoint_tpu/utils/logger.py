@@ -66,3 +66,22 @@ def resume_exp_directory(cfg, pretrained_path: str):
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
     cfg.wandb = cfg.get("wandb", {})
     return cfg.run_dir
+
+
+def snapshot_source(cfg, script_path: str = None):
+    """Copy the framework package (+ invoking script) into
+    ``run_dir/code/`` for reproducibility (parity:
+    examples/classification/train_autoaug.py:30-38 copy_codebase)."""
+    import shutil
+    run_dir = cfg.get("run_dir")
+    if not run_dir:
+        return
+    dst = os.path.join(run_dir, "code")
+    if os.path.exists(dst):
+        return
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copytree(pkg, os.path.join(dst, "adaptpoint_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__", "*.so",
+                                                  "*.pyc"))
+    if script_path and os.path.isfile(script_path):
+        shutil.copy2(script_path, dst)

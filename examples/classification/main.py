@@ -14,7 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
-from adaptpoint_tpu.utils import (EasyConfig, generate_exp_directory,
+from adaptpoint_tpu.utils import (EasyConfig, generate_exp_directory, snapshot_source,
                                   resume_exp_directory, setup_logger)
 
 
@@ -52,6 +52,8 @@ def main():
         generate_exp_directory(cfg, exp_name=cfg.exp_name)
     setup_logger(cfg.log_path, 0, name=cfg.get("task_name", ""))
     cfg.dump(os.path.join(cfg.run_dir, "cfg.yaml"))
+    if cfg.get("snapshot_code", False):
+        snapshot_source(cfg, os.path.abspath(__file__))
     logging.info("run dir: %s", cfg.run_dir)
 
     mode = cfg.get("mode", "train")

@@ -164,3 +164,23 @@ def test_optimizer_factory_full_sweep():
         p2 = optax.apply_updates(params, up)
         assert all(bool(jnp.isfinite(x).all())
                    for x in jax.tree.leaves(p2)), name
+
+
+def test_layer_decay_and_snapshot(tmp_path):
+    import optax
+    from adaptpoint_tpu.optim import build_optimizer_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig, snapshot_source
+    params = {"patch_embed": {"w": jnp.ones((4, 4))},
+              "block0": {"w": jnp.ones((4, 4))},
+              "block3": {"w": jnp.ones((4, 4))},
+              "head": {"w": jnp.ones((4, 4))}}
+    tx = build_optimizer_from_cfg(params, lr=0.01, NAME="adamw",
+                                  layer_decay=0.75)
+    st = tx.init(params)
+    up, st = tx.update(jax.tree.map(jnp.ones_like, params), st, params)
+    mags = {k: float(abs(v["w"][0, 0])) for k, v in up.items()}
+    assert mags["patch_embed"] < mags["block0"] < mags["block3"] < mags["head"]
+    cfg = EasyConfig({"run_dir": str(tmp_path)})
+    snapshot_source(cfg)
+    assert os.path.isdir(os.path.join(str(tmp_path), "code",
+                                      "adaptpoint_tpu", "ops"))
