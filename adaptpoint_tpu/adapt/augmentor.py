@@ -119,9 +119,28 @@ class AnchorSelfAttention(nn.Module):
             return t.reshape(b, m, self.head_num, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("bhmd,bhnd->bhmn", q, k) / (head_dim ** 0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhmn,bhnd->bhmd", attn, v)
+        scale = head_dim ** 0.5
+        chunk = 512
+        if m <= chunk or m % chunk != 0:
+            attn = jnp.einsum("bhmd,bhnd->bhmn", q, k) / scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhmn,bhnd->bhmd", attn, v)
+        else:
+            # exact blockwise attention over query chunks: softmax rows are
+            # independent, so chunking queries changes nothing numerically;
+            # rematerialized so the (B,H,N,N) matrix never exists
+            # (generator_component4_15.py:434-480 materializes it — O(N^2)
+            # memory kills N=2048 at the reference batch size on 16GB HBM)
+            @jax.checkpoint
+            def qchunk(qc):
+                a = jnp.einsum("bhmd,bhnd->bhmn", qc, k) / scale
+                a = jax.nn.softmax(a, axis=-1)
+                return jnp.einsum("bhmn,bhnd->bhmd", a, v)
+
+            qs = q.reshape(b, self.head_num, m // chunk, chunk, head_dim)
+            out = jax.lax.map(qchunk, jnp.moveaxis(qs, 2, 0))
+            out = jnp.moveaxis(out, 0, 2).reshape(b, self.head_num, m,
+                                                  head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(b, m, self.dim)
         out = nn.Dense(self.dim, kernel_init=torch_linear_init, name="res")(out)
         out = nn.BatchNorm(use_running_average=not training, momentum=0.9,

@@ -192,17 +192,20 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
     g_fx_ref[0] = g_fx_ref[0] + acc
 
 
-def _pick_tm(m: int, n_pad: int, c_pad: int, k: int) -> int:
+def _pick_tm(m: int, n_pad: int, c_pad: int, k: int,
+             fixed_bytes: int = 0) -> int:
     """Tile size fitting the 16MB scoped-VMEM limit.
 
-    Accounts for: oh bf16 + d2 f32 + mask (tm, n_pad); the dp and fj output
-    tiles are double-buffered and LANE-PADDED to 128 (dp's 3 and any C<128
-    still occupy 128 lanes in VMEM)."""
+    Accounts for: oh bf16 + d2 f32 + mask + iota (tm, n_pad); the dp and fj
+    output tiles are double-buffered and LANE-PADDED to 128 (dp's 3 and any
+    C<128 still occupy 128 lanes in VMEM); plus caller-supplied fixed block
+    bytes (the per-batch xyz/fcat input blocks, which do NOT shrink with
+    tm — missing them OOM'd the N=2048 augmentor grouper)."""
     tm = 256
     while tm > 8:
-        work = tm * n_pad * 12
+        work = tm * n_pad * 16
         out_tiles = 2 * (k * tm * 128 * 4 + k * tm * c_pad * 4)
-        if work + out_tiles <= 11 * 1024 * 1024:
+        if fixed_bytes + work + out_tiles <= 10 * 1024 * 1024:
             break
         tm //= 2
     while m % tm != 0 and tm > 1:
@@ -234,7 +237,6 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     K = nsample
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
-    tm = _pick_tm(M, n_pad, c_pad, K)
     splits = gather_splits()
     fx = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
     # barrier each rounding step: XLA runs with allow_excess_precision and
@@ -247,6 +249,9 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             parts.append(jax.lax.optimization_barrier(
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
     fcat = jnp.concatenate(parts, axis=-1)  # (B, N, splits*w) bf16
+    fixed = (2 * n_pad * 128 * 4  # xyz block f32, lane-padded, dbl-buffered
+             + 2 * n_pad * _round_up(fcat.shape[-1], 128) * 2)  # fcat bf16
+    tm = _pick_tm(M, n_pad, c_pad, K, fixed)
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -306,7 +311,9 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
-    tm = _pick_tm(M, n_pad, _round_up(c, 128), K)
+    # bwd fixed blocks: the revisited (n_pad, 3+C) f32 accumulator output
+    tm = _pick_tm(M, n_pad, _round_up(c, 128), K,
+                  n_pad * _round_up(c + 3, 128) * 4)
 
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
