@@ -138,9 +138,7 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     """
     # pallas tiles need M divisible by 8 (qidx sublane constraint)
     if _use_pallas() and query_idx.shape[1] % 8 == 0:
-        import jax.numpy as jnp
-        new_xyz, fi, dp, fj, idx = ball_group_pallas(
-            radius, nsample, xyz, query_idx, feats, relative, normalize_dp)
-        return new_xyz, fi, jnp.concatenate([dp, fj], axis=-1), idx
+        return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
+                                 relative, normalize_dp)
     return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                            relative, normalize_dp)

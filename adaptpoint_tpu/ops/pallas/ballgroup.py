@@ -72,16 +72,17 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
-def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
-                fj_ref, idx_ref, mask_scr, idxacc_scr, *, radius: float,
+def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
+                idx_ref, mask_scr, idxacc_scr, *, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
                 normalize_dp: bool, splits: int = 3):
     # xyz_ref (1,N,3) f32 | qidx_ref (1,TM,1) i32
     # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
     # (packed in XLA behind optimization_barriers so each per-k gather is ONE
     #  well-filled MXU matmul instead of three narrow ones)
-    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats, dp (1,K,TM,3),
-    #       fj (1,K,TM,C), idx (1,TM,K)
+    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats,
+    #       dpfj (1,K,TM,3+C) packed [dp || fj] (a separate (...,3) dp output
+    #       would pad 3 -> 128 lanes in HBM: 42x memory blow-up), idx (1,TM,K)
     _, n_pad, _ = xyz_ref.shape
     tm = qidx_ref.shape[1]
     K = nsample
@@ -120,6 +121,14 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
     fi_ref[0] = rq_sum[:, 3:]
     BIG = jnp.int32(2 ** 30)
 
+    # lane-placement constants: q is broadcast into cols 0..2 of a (TM, w)
+    # row with exact elementwise selects (an MXU placement matmul would
+    # round q to bf16); scale_row applies 1/radius to the dp columns only.
+    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    dp_scale = jnp.float32(1.0 / radius) if (relative and normalize_dp) \
+        else jnp.float32(1.0)
+    scale_row = jnp.where(colw < 3, dp_scale, jnp.float32(1.0))  # (1, w)
+
     def body(k, first_idx):
         mask = mask_scr[:]
         key = jnp.where(mask, lane, BIG)
@@ -134,29 +143,29 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dp_ref,
         r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)
         g = r[:, :w]
         for _s in range(1, splits):
-            g = g + r[:, _s * w:(_s + 1) * w]  # (TM, w)
-        dp = g[:, :3]
+            g = g + r[:, _s * w:(_s + 1) * w]  # (TM, w) = [xyz_j || f_j]
         if relative:
-            dp = dp - q
-            if normalize_dp:
-                dp = dp / radius
-        dp_ref[0, pl.ds(k, 1), :, :] = dp[None]
-        fj_ref[0, pl.ds(k, 1), :, :] = g[:, 3:][None]
+            q_wide = (jnp.where(colw == 0, q[:, 0:1], 0.0)
+                      + jnp.where(colw == 1, q[:, 1:2], 0.0)
+                      + jnp.where(colw == 2, q[:, 2:3], 0.0))
+            g = (g - q_wide) * scale_row
+        dpfj_ref[0, pl.ds(k, 1), :, :] = g[None]
         return first_idx
 
     lax.fori_loop(0, K, body, jnp.zeros((tm, 1), jnp.int32))
     idx_ref[0] = idxacc_scr[:]
 
 
-def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
+def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
                 g_fx_ref, *, radius: float, nsample: int,
                 relative: bool, normalize_dp: bool):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
     # idx (1,TM,K) i32; qidx (1,TM,1) i32; g_new (1,TM,3); g_fi (1,TM,C);
-    # g_dp (1,K,TM,3); g_fj (1,K,TM,C); out: g_fx (1,N,3+C) packed
+    # g_dpfj (1,K,TM,3+C) packed; out: g_fx (1,N,3+C) packed
     K = nsample
     tm = idx_ref.shape[1]
     n_pad = g_fx_ref.shape[1]
+    w = g_fx_ref.shape[2]
     scale = 1.0 / radius if (relative and normalize_dp) else 1.0
 
     @pl.when(pl.program_id(1) == 0)
@@ -171,23 +180,24 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dp_ref, g_fj_ref,
     acc = jnp.zeros_like(g_fx_ref[0])  # (N, w)
     gdp_sum = jnp.zeros((tm, 3), jnp.float32)
 
+    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    scale_row = jnp.where(colw < 3, jnp.float32(scale), jnp.float32(1.0))
+
     def k_body(k, carry):
         acc, gdp_sum = carry
         # extract column k of idx without a dynamic lane index
         sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
         ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
-        gdp = g_dp_ref[0, pl.ds(k, 1), :, :][0] * scale  # (TM,3)
-        gfj = g_fj_ref[0, pl.ds(k, 1), :, :][0]  # (TM,C)
-        gcat = jnp.concatenate([gdp, gfj], axis=1)  # (TM, w)
+        gcat = g_dpfj_ref[0, pl.ds(k, 1), :, :][0] * scale_row  # (TM, w)
         acc += _oh_matmul(ohT, *_split3(gcat))
         if relative:
-            gdp_sum = gdp_sum + gdp
+            gdp_sum = gdp_sum + gcat[:, :3]  # static lane slice: exact
         return acc, gdp_sum
 
     acc, gdp_sum = lax.fori_loop(0, K, k_body, (acc, gdp_sum))
     # query-row contributions: d(newxyz) (+ -sum_k gdp if relative) and d(fi)
     gq_xyz = g_new_ref[0] - gdp_sum if relative else g_new_ref[0]
-    gq = jnp.concatenate([gq_xyz, g_fi_ref[0]], axis=1)  # (TM, w)
+    gq = jnp.concatenate([gq_xyz, g_fi_ref[0]], axis=1)  # 2-way concat: ok
     acc += _oh_matmul(oh_q.T, *_split3(gq))
     g_fx_ref[0] = g_fx_ref[0] + acc
 
@@ -221,8 +231,8 @@ def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
 
     xyz (B,N,3) f32; query_idx (B,M) int32 (support-point indices of the
     query centers); feats (B,N,C) f32.
-    Returns (new_xyz (B,M,3), fi (B,M,C), dp (B,K,M,3), fj (B,K,M,C),
-    idx (B,M,K) i32) — dp/fj carry the neighbor axis at dim 1 (pool there).
+    Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) packed [dp||fj],
+    idx (B,M,K) i32) — dpfj carries the neighbor axis at dim 1 (pool there).
     """
     out, _ = _ball_group_fwd(radius, nsample, xyz, query_idx, feats,
                              relative, normalize_dp)
@@ -260,7 +270,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N, w=w,
         relative=relative, normalize_dp=normalize_dp, splits=splits)
-    new_xyz, fi, dp, fj, idx = pl.pallas_call(
+    new_xyz, fi, dpfj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
         in_specs=[
@@ -276,9 +286,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, 3), lambda b, t: (b, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, C), lambda b, t: (b, 0, t, 0),
+            pl.BlockSpec((1, K, tm, C + 3), lambda b, t: (b, 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, K), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -286,28 +294,27 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         out_shape=(
             jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, M, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, M, C + 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
                         pltpu.VMEM((tm, K), jnp.int32)],
     )(xyz, query_idx.astype(jnp.int32)[:, :, None], fcat)
-    return new_xyz, fi, dp, fj, idx
+    return new_xyz, fi, dpfj, idx
 
 
 def _ball_group_fwd(radius, nsample, xyz, query_idx, feats, relative,
                     normalize_dp):
     out = _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                            normalize_dp)
-    new_xyz, fi, dp, fj, idx = out
+    new_xyz, fi, dpfj, idx = out
     res = (xyz.shape, feats.shape[-1], query_idx, idx)
     return out, res
 
 
 def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     (b, n, _), c, query_idx, idx = res
-    g_new, g_fi, g_dp, g_fj, _ = grads
+    g_new, g_fi, g_dpfj, _ = grads
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
@@ -330,15 +337,13 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, 3), lambda i, t: (i, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, tm, c), lambda i, t: (i, 0, t, 0),
+            pl.BlockSpec((1, K, tm, c + 3), lambda i, t: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
-    )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi, g_dp, g_fj)
+    )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi, g_dpfj)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
 
