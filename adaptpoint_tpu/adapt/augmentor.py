@@ -215,9 +215,13 @@ class SAComponent(nn.Module):
         for i, exp in enumerate(self.dim_expansion):
             out_ch = last * exp
             feat = ConvBNReLU(out_ch, bias=False, name=f"pre{i}")(feat, training)
-            xyz, feat = PointsetGrouper(out_ch, self.reducers[i],
-                                        self.k_neighbors[i], self.radii[i],
-                                        name=f"grouper{i}")(xyz, feat, training)
+            # remat: the grouped (B,K,M,3+C) activations of all four stages
+            # otherwise stay live for the backward (~9GB at B=128 N=2048);
+            # regathering in the bwd pass is cheap MXU work
+            grouper = nn.remat(PointsetGrouper, static_argnums=(3,))(
+                out_ch, self.reducers[i], self.k_neighbors[i], self.radii[i],
+                name=f"grouper{i}")
+            xyz, feat = grouper(xyz, feat, training)
             xyz_list.append(xyz)
             x_list.append(feat)
             channels.append(out_ch)

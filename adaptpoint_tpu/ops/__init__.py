@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 from .geometry import (
     square_distance,
