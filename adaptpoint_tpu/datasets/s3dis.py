@@ -23,12 +23,20 @@ S3DIS_NUM_PER_CLASS = np.array(
     [3370714, 2856755, 4919229, 318158, 375640, 478001, 974733, 650464,
      791496, 88727, 1284130, 229758, 2272837], dtype=np.int64)
 
+# per-class vis colors (parity: s3dis_sphere.py:34-47 class2color)
+S3DIS_CMAP = np.array(
+    [[0, 255, 0], [0, 0, 255], [0, 255, 255], [255, 255, 0], [255, 0, 255],
+     [100, 100, 255], [200, 200, 100], [255, 0, 0], [170, 120, 200],
+     [10, 200, 100], [200, 100, 100], [200, 200, 200], [50, 50, 50]],
+    dtype=np.uint8)
+
 
 @DATASETS.register_module()
 class S3DIS:
     classes = S3DIS_CLASSES
     num_classes = 13
     num_per_class = S3DIS_NUM_PER_CLASS
+    cmap = S3DIS_CMAP
     gravity_dim = 2
 
     def __init__(self, data_root: str = "data/S3DIS/s3disfull",
@@ -125,6 +133,7 @@ class S3DISSphere:
     num_per_class = S3DIS_NUM_PER_CLASS
     color_mean = np.array([0.5136457, 0.49523646, 0.44921124])
     color_std = np.array([0.18308958, 0.18415008, 0.19252081])
+    cmap = S3DIS_CMAP
     gravity_dim = 2
 
     def __init__(self, data_root: str = "data/S3DIS/s3disfull",

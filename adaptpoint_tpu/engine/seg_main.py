@@ -136,6 +136,24 @@ def validate_sphere(logits_step, state, loader, mesh, cfg):
         proj = ds.projections[ci]
         keep = seen[proj]
         cm.update(sub_pred[proj][keep], ds.clouds_labels[ci][keep])
+        if cfg.get("visualize") and cfg.get("run_dir"):
+            # per-area input/gt/pred OBJ dumps
+            # (parity: examples/segmentation/main.py:481-505)
+            import os
+            from ..datasets.vis3d import write_obj
+            vis_dir = os.path.join(cfg.run_dir, "visualization")
+            os.makedirs(vis_dir, exist_ok=True)
+            cmap = getattr(ds, "cmap", None)
+            coord = ds.clouds_points[ci]
+            rgb = ds.clouds_colors[ci].astype(np.float32)
+            rgb = rgb / 255.0 if rgb.max() > 1 else rgb
+            write_obj(coord, rgb, os.path.join(vis_dir, f"input-{ci}.obj"))
+            if cmap is not None:
+                gt = cmap[ds.clouds_labels[ci]] / 255.0
+                pred = cmap[sub_pred[proj]] / 255.0
+                write_obj(coord, gt, os.path.join(vis_dir, f"gt-{ci}.obj"))
+                write_obj(coord, pred,
+                          os.path.join(vis_dir, f"pred-{ci}.obj"))
     miou, macc, oa, ious, accs = get_mious(cm.tp, cm.union, cm.count)
     return miou, macc, oa, ious, accs
 

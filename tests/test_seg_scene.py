@@ -129,3 +129,35 @@ def test_validate_sphere(tmp_path):
     miou, macc, oa, ious, accs = validate_sphere(oracle_step, None, loader,
                                                  get_mesh(), cfg)
     assert oa > 95.0  # oracle predictions project correctly
+
+
+def test_validate_sphere_visualize(tmp_path):
+    import jax.numpy as jnp
+    from adaptpoint_tpu.datasets.s3dis import S3DISSphere
+    from adaptpoint_tpu.datasets.loader import NumpyLoader
+    from adaptpoint_tpu.datasets.vis3d import read_obj, write_obj
+    from adaptpoint_tpu.engine.seg_main import validate_sphere
+    from adaptpoint_tpu.parallel import get_mesh
+    from adaptpoint_tpu.utils import EasyConfig
+
+    root = _make_fake_s3dis_raw(str(tmp_path / "data"))
+    ds = S3DISSphere(data_root=root, voxel_size=0.1, in_radius=1.5,
+                     num_points=128, num_steps=4, num_epochs=1, split="val")
+    loader = NumpyLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                         seed=0)
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    cfg = EasyConfig({"num_classes": 13, "ignore_index": None,
+                      "visualize": True, "run_dir": run_dir})
+
+    def step(state, batch):
+        z = batch["heights"][..., 0]
+        import jax
+        return jax.nn.one_hot(
+            jnp.clip((z / 3.0 * 13).astype(jnp.int32), 0, 12), 13) * 10.0
+
+    validate_sphere(step, None, loader, get_mesh(), cfg)
+    objs = os.listdir(os.path.join(run_dir, "visualization"))
+    assert any(o.startswith("pred-") for o in objs)
+    pts, cols = read_obj(os.path.join(run_dir, "visualization", objs[0]))
+    assert pts.shape[1] == 3 and cols.shape[1] == 3
