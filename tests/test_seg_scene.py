@@ -161,3 +161,44 @@ def test_validate_sphere_visualize(tmp_path):
     assert any(o.startswith("pred-") for o in objs)
     pts, cols = read_obj(os.path.join(run_dir, "visualization", objs[0]))
     assert pts.shape[1] == 3 and cols.shape[1] == 3
+
+
+def test_sphere_train_loop_e2e(tmp_path):
+    """Full seg_main over S3DISSphere: masked CE train + overlap-vote val."""
+    root = _make_fake_s3dis_raw(str(tmp_path / "data"))
+    cfg = EasyConfig()
+    cfg.update({
+        "model": {
+            "NAME": "BaseSeg",
+            "encoder_args": {
+                "NAME": "PointNextEncoder", "blocks": [1, 1, 1],
+                "strides": [1, 4, 4], "width": 16, "in_channels": 4,
+                "sa_layers": 1, "sa_use_res": False, "radius": 0.5,
+                "nsample": 8,
+                "group_args": {"NAME": "ballquery", "normalize_dp": True},
+                "norm_args": {"norm": "bn"}, "act_args": {"act": "relu"},
+                "conv_args": {"order": "conv-norm-act"}},
+            "decoder_args": {"NAME": "PointNextDecoder"},
+            "cls_args": {"NAME": "SegHead", "num_classes": 13,
+                         "norm_args": {"norm": "bn"}}},
+        "dataset": {"common": {"NAME": "S3DISSphere", "data_root": root,
+                               "voxel_size": 0.1, "in_radius": 1.5,
+                               "num_points": 128, "num_steps": 8,
+                               "num_epochs": 2},
+                    "train": {"split": "train"}, "val": {"split": "val"}},
+        "dataloader": {"num_workers": 0},
+        "datatransforms": {"train": None, "val": None},
+        "feature_keys": "x,heights",
+        "criterion_args": {"NAME": "MaskedCrossEntropy",
+                           "label_smoothing": 0.0},
+        "lr": 0.01, "optimizer": {"NAME": "adamw", "weight_decay": 1e-4},
+        "sched": "cosine", "epochs": 2, "min_lr": 1e-5, "t_max": 2,
+        "warmup_epochs": 0, "grad_norm_clip": 10, "val_freq": 1,
+        "batch_size": 4, "val_batch_size": 4, "num_classes": 13, "seed": 0,
+    })
+    cfg.run_dir = str(tmp_path / "run")
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    cfg.run_name = None
+    from adaptpoint_tpu.engine.seg_main import main
+    best = main(cfg)
+    assert best >= 0
