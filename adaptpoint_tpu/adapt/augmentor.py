@@ -215,12 +215,16 @@ class SAComponent(nn.Module):
         for i, exp in enumerate(self.dim_expansion):
             out_ch = last * exp
             feat = ConvBNReLU(out_ch, bias=False, name=f"pre{i}")(feat, training)
-            # remat: the grouped (B,K,M,3+C) activations of all four stages
-            # otherwise stay live for the backward (~9GB at B=128 N=2048);
-            # regathering in the bwd pass is cheap MXU work
-            grouper = nn.remat(PointsetGrouper, static_argnums=(3,))(
-                out_ch, self.reducers[i], self.k_neighbors[i], self.radii[i],
-                name=f"grouper{i}")
+            # remat for big shapes: the grouped (B,K,M,3+C) activations of
+            # all four stages otherwise stay live for the backward (~9GB at
+            # B=128 N=2048 -> HBM OOM); regathering in the bwd is cheap MXU
+            # work. Small shapes skip it (recompute costs ~30% step time).
+            big = x.shape[0] * x.shape[1] >= 128 * 1024
+            cls_grouper = (nn.remat(PointsetGrouper, static_argnums=(3,))
+                           if big else PointsetGrouper)
+            grouper = cls_grouper(out_ch, self.reducers[i],
+                                  self.k_neighbors[i], self.radii[i],
+                                  name=f"grouper{i}")
             xyz, feat = grouper(xyz, feat, training)
             xyz_list.append(xyz)
             x_list.append(feat)
