@@ -136,6 +136,20 @@ def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
             tx = optax.novograd(learning_rate, b1=betas[0], b2=betas[1],
                                 eps=eps, weight_decay=weight_decay)
             return tx
+        if name == "adamp":
+            from .adamp import adamp as _adamp
+            return _adamp(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                          weight_decay=weight_decay,
+                          delta=kwargs.get("delta", 0.1),
+                          wd_ratio=kwargs.get("wd_ratio", 0.1),
+                          nesterov=kwargs.get("nesterov", False))
+        if name == "sgdp":
+            from .adamp import sgdp as _sgdp
+            return _sgdp(learning_rate, momentum=momentum, eps=eps,
+                         weight_decay=weight_decay,
+                         delta=kwargs.get("delta", 0.1),
+                         wd_ratio=kwargs.get("wd_ratio", 0.1),
+                         nesterov=kwargs.get("nesterov", False))
         if name == "lookahead":
             # timm Lookahead wraps an inner optimizer (default adamw)
             inner = optax.adamw(learning_rate, b1=betas[0], b2=betas[1],

@@ -184,3 +184,52 @@ def test_layer_decay_and_snapshot(tmp_path):
     snapshot_source(cfg)
     assert os.path.isdir(os.path.join(str(tmp_path), "code",
                                       "adaptpoint_tpu", "ops"))
+
+
+def test_adamp_matches_torch_reference():
+    import math
+    import optax
+    import torch
+    import torch.nn.functional as F
+    from adaptpoint_tpu.optim import build_optimizer_from_cfg
+
+    def torch_adamp_step(p0, g0, lr, wd):
+        p = torch.tensor(np.array(p0), dtype=torch.float64)
+        g = torch.tensor(np.array(g0), dtype=torch.float64)
+        exp_avg = torch.zeros_like(p)
+        exp_avg_sq = torch.zeros_like(p)
+        beta1, beta2, eps, delta, wd_ratio = 0.9, 0.999, 1e-8, 0.1, 0.1
+        exp_avg.mul_(beta1).add_(g, alpha=1 - beta1)
+        exp_avg_sq.mul_(beta2).addcmul_(g, g, value=1 - beta2)
+        denom = (exp_avg_sq.sqrt() / math.sqrt(1 - beta2)).add_(eps)
+        step = lr / (1 - beta1)
+        perturb = exp_avg / denom
+        wdv = 1.0
+        for view in [lambda x: x.reshape(x.size(0), -1),
+                     lambda x: x.reshape(1, -1)]:
+            pv, gv = view(p), view(g)
+            cos = F.cosine_similarity(gv, pv, dim=1, eps=eps).abs_()
+            if cos.max() < delta / math.sqrt(pv.size(1)):
+                expand = (-1,) + (1,) * (p.dim() - 1)
+                p_n = p / pv.norm(p=2, dim=1).add_(eps).reshape(expand)
+                perturb = perturb - p_n * view(p_n * perturb).sum(
+                    dim=1).reshape(expand)
+                wdv = wd_ratio
+                break
+        return ((p * (1 - lr * wd * wdv)) - step * perturb).numpy()
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((8, 16)).astype(np.float32)
+    g0 = rng.standard_normal((8, 16)).astype(np.float32) * 0.01
+    params = {"w": jnp.asarray(p0)}
+    tx = build_optimizer_from_cfg(params, lr=0.01, NAME="adamp",
+                                  weight_decay=1e-2, filter_bias_and_bn=False)
+    st = tx.init(params)
+    up, st = tx.update({"w": jnp.asarray(g0)}, st, params)
+    ours = np.asarray(optax.apply_updates(params, up)["w"])
+    assert np.max(np.abs(ours - torch_adamp_step(p0, g0, 0.01, 1e-2))) < 1e-5
+    tx = build_optimizer_from_cfg(params, lr=0.01, NAME="sgdp",
+                                  weight_decay=1e-2, filter_bias_and_bn=False)
+    st = tx.init(params)
+    up, _ = tx.update({"w": jnp.asarray(g0)}, st, params)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(up))
