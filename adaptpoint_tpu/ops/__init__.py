@@ -32,16 +32,26 @@ __all__ = [
 ]
 
 
-def _use_pallas() -> bool:
-    mode = os.environ.get("ADAPTPOINT_TPU_KERNELS", "auto").lower()
+def _kernel_mode() -> str:
+    return os.environ.get("ADAPTPOINT_TPU_KERNELS", "auto").lower()
+
+
+def _dispatch(pallas_fn, xla_fn, *arrays):
+    """Pick the Pallas or XLA implementation of an op.
+
+    ``ADAPTPOINT_TPU_KERNELS=pallas|xla`` forces a branch. In ``auto`` mode the
+    choice is made at *lowering* time via ``lax.platform_dependent``, so a
+    single program that is jitted for several platforms (e.g. the multi-chip
+    dryrun on a virtual CPU mesh while the default backend is TPU) always gets
+    the branch that can actually lower — ``jax.default_backend()`` is not
+    consulted. Only the selected branch is lowered; the Pallas branch is never
+    compiled on CPU."""
+    mode = _kernel_mode()
     if mode == "pallas":
-        return True
+        return pallas_fn(*arrays)
     if mode == "xla":
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+        return xla_fn(*arrays)
+    return jax.lax.platform_dependent(*arrays, tpu=pallas_fn, default=xla_fn)
 
 
 def furthest_point_sample(xyz, npoint: int):
@@ -52,9 +62,9 @@ def furthest_point_sample(xyz, npoint: int):
     attempting a JVP of the Pallas call."""
     import jax
     xyz = jax.lax.stop_gradient(xyz)
-    if _use_pallas():
-        return furthest_point_sample_pallas(xyz, npoint)
-    return furthest_point_sample_xla(xyz, npoint)
+    return _dispatch(lambda x: furthest_point_sample_pallas(x, npoint),
+                     lambda x: furthest_point_sample_xla(x, npoint),
+                     xyz)
 
 
 # ball query / three_nn are XLA top_k based on all backends (MXU-friendly);
@@ -66,11 +76,11 @@ three_nn = three_nn_xla
 def gather_rows(points, idx):
     """Exact (B,M,C) row gather of (B,N,C) by (B,M) — Pallas one-hot matmul
     on TPU, take_along_axis elsewhere."""
-    if _use_pallas() and points.ndim == 3 and idx.ndim == 2 \
-            and points.dtype == jnp.float32:
+    if points.ndim == 3 and idx.ndim == 2 and points.dtype == jnp.float32:
         from .pallas.gather import gather_rows_pallas, gather_fits
         if gather_fits(points.shape[1], points.shape[2], idx.shape[1]):
-            return gather_rows_pallas(points, idx)
+            return _dispatch(gather_rows_pallas, _index_points_xla,
+                             points, idx)
     return _index_points_xla(points, idx)
 
 
@@ -82,15 +92,22 @@ _index_points_xla = index_points
 
 def index_points(points, idx):  # noqa: F811  (intentional dispatcher shadow)
     import jax.numpy as _jnp
-    if _use_pallas() and getattr(points, "ndim", 0) == 3 \
-            and points.dtype == _jnp.float32 and getattr(idx, "ndim", 0) >= 2:
+    if getattr(points, "ndim", 0) == 3 and points.dtype == _jnp.float32 \
+            and getattr(idx, "ndim", 0) >= 2:
         b = points.shape[0]
         flat = idx.reshape(b, -1)
         from .pallas.gather import gather_rows_pallas, gather_fits
         if flat.shape[1] > 0 and gather_fits(points.shape[1],
                                              points.shape[2], flat.shape[1]):
-            out = gather_rows_pallas(points, flat)
-            return out.reshape(tuple(idx.shape) + (points.shape[-1],))
+
+            def _pallas(points, flat):
+                out = gather_rows_pallas(points, flat)
+                return out.reshape(tuple(idx.shape) + (points.shape[-1],))
+
+            def _xla(points, flat):
+                return _index_points_xla(points, idx)
+
+            return _dispatch(_pallas, _xla, points, flat)
     return _index_points_xla(points, idx)
 
 
@@ -138,8 +155,15 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     bit-identical outputs.
     """
     # pallas tiles need M divisible by 8 (qidx sublane constraint)
-    if _use_pallas() and query_idx.shape[1] % 8 == 0:
-        return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
-                                 relative, normalize_dp)
+    if query_idx.shape[1] % 8 == 0:
+        def _pallas(xyz, query_idx, feats):
+            return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
+                                     relative, normalize_dp)
+
+        def _xla(xyz, query_idx, feats):
+            return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
+                                   relative, normalize_dp)
+
+        return _dispatch(_pallas, _xla, xyz, query_idx, feats)
     return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                            relative, normalize_dp)
