@@ -148,3 +148,44 @@ class PointMLPEncoder(nn.Module):
 
     def __call__(self, p, x=None, training: bool = False):
         return self.forward_cls_feat(p, x, training)
+
+
+@MODELS.register_module()
+class PointMLP(nn.Module):
+    """Self-contained classifier: PointMLPEncoder + the original 3-layer
+    classifier head (parity: pointmlp.py:353-393 PointMLP — Linear-BN-ReLU-
+    Dropout(0.5) x2 then the class projection)."""
+
+    in_channels: int = 3
+    num_classes: int = 15
+    embed_dim: int = 64
+    res_expansion: float = 1.0
+    activation: str = "relu"
+    bias: bool = False
+    use_xyz: bool = False
+    normalize: str = "anchor"
+    dim_expansion: Sequence[int] = (2, 2, 2, 2)
+    pre_blocks: Sequence[int] = (2, 2, 2, 2)
+    pos_blocks: Sequence[int] = (2, 2, 2, 2)
+    k_neighbors: Sequence[int] = (24, 24, 24, 24)
+    reducers: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, p, x=None, training: bool = False):
+        feat = PointMLPEncoder(
+            self.in_channels, self.embed_dim, self.res_expansion,
+            self.activation, self.bias, self.use_xyz, self.normalize,
+            self.dim_expansion, self.pre_blocks, self.pos_blocks,
+            self.k_neighbors, self.reducers, name="encoder")(p, x, training)
+        from ..layers.blocks import LinearBlock, torch_linear_init
+        h = LinearBlock(512, norm_args={"norm": "bn1d"},
+                        act_args={"act": self.activation},
+                        dropout=0.5, name="fc1")(feat, training)
+        h = LinearBlock(256, norm_args={"norm": "bn1d"},
+                        act_args={"act": self.activation},
+                        dropout=0.5, name="fc2")(h, training)
+        return nn.Dense(self.num_classes, kernel_init=torch_linear_init,
+                        name="cls")(h)
+
+    def forward_cls_feat(self, p, x=None, training: bool = False):
+        return self(p, x, training)

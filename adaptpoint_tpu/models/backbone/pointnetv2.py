@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -136,6 +137,62 @@ class PointNet2Encoder(nn.Module):
 
     def forward_seg_feat(self, p0, f0=None, training: bool = False):
         return self._encode(p0, f0, training, return_all=True)
+
+
+@MODELS.register_module()
+class PointNet2PartDecoder(nn.Module):
+    """FP decoder with shape-class conditioning for part segmentation
+    (parity: pointnetv2.py:383-511 PointNet2PartDecoder): FP stages run
+    deep->shallow; the shallowest FP receives the 16-dim shape-class one-hot
+    concatenated to the stem features (skip_channel_list[0] += 16 at :466,
+    one-hot scatter at :503-507)."""
+
+    encoder_channel_list: Sequence[int]
+    fp_mlps: Any = None
+    in_channels: int = 3
+    num_classes: int = 16  # shape categories
+    decoder_layers: int = 1
+
+    @property
+    def out_channels(self) -> int:
+        if self.fp_mlps is not None:
+            return self.fp_mlps[0][-1]
+        ecl = list(self.encoder_channel_list)
+        return max(ecl[0] // 2, 64)
+
+    @nn.compact
+    def __call__(self, p, f, cls_label, training: bool = False):
+        ecl = list(self.encoder_channel_list)
+        f = list(f)
+        n = len(ecl)
+        B, N = p[0].shape[0], p[0].shape[1]
+        # deep stages first (pointnetv2.py:497-501)
+        for i in range(-1, -n, -1):
+            chain = (self.fp_mlps[i] if self.fp_mlps is not None
+                     else [max(ecl[i] // 2, 64)] * (self.decoder_layers + 1))
+            interp = three_interpolation(p[i - 1], p[i], f[i])
+            x = jnp.concatenate([f[i - 1], interp], axis=-1) \
+                if f[i - 1] is not None else interp
+            for j, c in enumerate(chain):
+                x = ConvBlock(c, norm_args={"norm": "bn"},
+                              act_args={"act": "relu"},
+                              name=f"fp{n + i}_mlp{j}")(x, training)
+            f[i - 1] = x
+        # shallowest FP: concat class one-hot to the stem features
+        # (pointnetv2.py:503-510)
+        one_hot = jax.nn.one_hot(jnp.reshape(cls_label, (B,)),
+                                 self.num_classes, dtype=f[-1].dtype)
+        cls_feat = jnp.broadcast_to(one_hot[:, None, :],
+                                    (B, N, self.num_classes))
+        interp = three_interpolation(p[0], p[1], f[1])
+        x = jnp.concatenate([cls_feat, f[0], interp], axis=-1)
+        chain = (self.fp_mlps[0] if self.fp_mlps is not None
+                 else [max(ecl[0] // 2, 64)] * (self.decoder_layers + 1))
+        for j, c in enumerate(chain):
+            x = ConvBlock(c, norm_args={"norm": "bn"},
+                          act_args={"act": "relu"},
+                          name=f"fp0_mlp{j}")(x, training)
+        return x
 
 
 @MODELS.register_module()

@@ -15,7 +15,8 @@ from flax import linen as nn
 
 from ..build import MODELS
 from ..layers.blocks import ConvBlock, create_act, torch_linear_init
-from ...ops import furthest_point_sample, index_points, knn_point
+from ...ops import (furthest_point_sample, index_points, knn_point,
+                    three_interpolation)
 
 
 class TransformerBlock(nn.Module):
@@ -72,7 +73,9 @@ class PointPatchEmbed(nn.Module):
 
 @MODELS.register_module()
 class PointViT(nn.Module):
-    """parity: pointvit.py:16-176."""
+    """parity: pointvit.py:16-176. ``distill=True`` adds a distillation token
+    at position 1 (pointvit.py:91-97); forward_cls_feat then returns
+    (global_feat, dist_token_feat) in training (pointvit.py:162-166)."""
 
     in_channels: int = 3
     embed_dim: int = 384
@@ -84,10 +87,24 @@ class PointViT(nn.Module):
     num_groups: int = 256
     group_size: int = 32
     global_feat: str = "cls,max"
+    distill: bool = False
 
     @property
     def out_channels(self) -> int:
         return len(self.global_feat.split(",")) * self.embed_dim
+
+    @property
+    def distill_channels(self) -> int:
+        return self.embed_dim
+
+    @property
+    def channel_list(self):
+        # parity: pointvit.py:87-88 (patch_embed channel list, last = embed)
+        return [self.in_channels, self.embed_dim]
+
+    @property
+    def n_tokens(self) -> int:
+        return 2 if self.distill else 1
 
     @nn.compact
     def _encode(self, p, x, training: bool):
@@ -106,10 +123,18 @@ class PointViT(nn.Module):
                                (1, 1, self.embed_dim))
         cls_pos = self.param("cls_pos", nn.initializers.normal(0.02),
                              (1, 1, self.embed_dim))
-        tok = jnp.concatenate(
-            [jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), tokens], 1)
-        pos_all = jnp.concatenate(
-            [jnp.broadcast_to(cls_pos, (b, 1, self.embed_dim)), pos], 1)
+        toks = [jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), tokens]
+        poss = [jnp.broadcast_to(cls_pos, (b, 1, self.embed_dim)), pos]
+        if self.distill:
+            dist_token = self.param("dist_token",
+                                    nn.initializers.normal(0.02),
+                                    (1, 1, self.embed_dim))
+            dist_pos = self.param("dist_pos", nn.initializers.normal(0.02),
+                                  (1, 1, self.embed_dim))
+            toks.insert(1, jnp.broadcast_to(dist_token, (b, 1, self.embed_dim)))
+            poss.insert(1, jnp.broadcast_to(dist_pos, (b, 1, self.embed_dim)))
+        tok = jnp.concatenate(toks, 1)
+        pos_all = jnp.concatenate(poss, 1)
         hx = tok
         for i in range(self.depth):
             # add_pos_each_block=True (pointvit.py:140-142)
@@ -125,7 +150,7 @@ class PointViT(nn.Module):
 
     def forward_cls_feat(self, p, x=None, training: bool = False):
         _, hx = self._encode(p, x, training)
-        tokens = hx[:, 1:, :]
+        tokens = hx[:, self.n_tokens:, :]
         feats = []
         for t in self.global_feat.split(","):
             if "cls" in t:
@@ -134,11 +159,166 @@ class PointViT(nn.Module):
                 feats.append(jnp.max(tokens, axis=1))
             elif t in ("avg", "mean"):
                 feats.append(jnp.mean(tokens, axis=1))
-        return jnp.concatenate(feats, axis=-1)
+        global_feat = jnp.concatenate(feats, axis=-1)
+        if self.distill and training:
+            return global_feat, hx[:, 1, :]
+        return global_feat
 
     def forward_seg_feat(self, p, x=None, training: bool = False):
+        # full token sequence (incl. cls token) — the ViT decoders strip it
+        # (parity: pointvit.py:170-174 forward_seg_feat / decoder :248-250)
         centers, hx = self._encode(p, x, training)
-        return [p, centers], [x, hx[:, 1:, :]]
+        return [p, centers], [x, hx]
+
+
+class _ViTFP(nn.Module):
+    """One ViT decoder FP stage (parity: pointvit.py:225-232 _make_dec)."""
+
+    fp_channels: int
+    decoder_layers: int = 2
+
+    @nn.compact
+    def __call__(self, p1, f1, p2, f2, training: bool = False):
+        interp = three_interpolation(p1, p2, f2)
+        h = jnp.concatenate([f1, interp], axis=-1) if f1 is not None else interp
+        for j in range(self.decoder_layers):
+            h = ConvBlock(self.fp_channels, norm_args={"norm": "bn1d"},
+                          act_args={"act": "relu"}, name=f"mlp{j}")(h, training)
+        return h
+
+
+def _vit_fp_channels(encoder_channel_list, n_decoder_stages, channel_scaling):
+    fp_channels = [encoder_channel_list[-1] * channel_scaling]
+    for _ in range(n_decoder_stages - 1):
+        fp_channels.insert(0, fp_channels[0] * channel_scaling)
+    return fp_channels
+
+
+def _vit_insert_levels(p, f, n_decoder_stages, scale, sampler):
+    """Insert intermediate FPS/random-downsampled levels between the input
+    cloud and the patch centers (parity: pointvit.py:242-247)."""
+    p, f = list(p), list(f)
+    if len(p) != n_decoder_stages + 1:
+        for _ in range(n_decoder_stages - 1):
+            m = p[0].shape[1] // scale
+            if sampler.lower() == "fps":
+                idx = furthest_point_sample(p[0], m)
+                p.insert(1, index_points(p[0], idx))
+            else:  # 'random': strided subsample (stateless stand-in for
+                # the reference's torch-RNG random_sample)
+                p.insert(1, p[0][:, ::scale][:, :m])
+            f.insert(1, None)
+    return p, f
+
+
+def _vit_global_concat(f_out, cls_token, global_feat):
+    """[global tokens || f_out] concat (parity: pointvit.py:255-266)."""
+    if global_feat is None:
+        return f_out
+    feats = []
+    for t in global_feat.split(","):
+        if "cls" in t:
+            feats.append(cls_token)
+        elif "max" in t:
+            feats.append(jnp.max(f_out, axis=1, keepdims=True))
+        elif t in ("avg", "mean"):
+            feats.append(jnp.mean(f_out, axis=1, keepdims=True))
+    g = jnp.concatenate(feats, axis=-1)
+    g = jnp.broadcast_to(g, (f_out.shape[0], f_out.shape[1], g.shape[-1]))
+    return jnp.concatenate([g, f_out], axis=-1)
+
+
+@MODELS.register_module()
+class PointViTDecoder(nn.Module):
+    """FP decoder from patch centers back to the input cloud
+    (parity: pointvit.py:177-267 PointViTDecoder)."""
+
+    encoder_channel_list: Sequence[int]
+    decoder_layers: int = 2
+    n_decoder_stages: int = 2
+    scale: int = 4
+    channel_scaling: int = 1
+    sampler: str = "fps"
+    global_feat: Optional[str] = None
+    progressive_input: bool = False
+
+    @property
+    def out_channels(self) -> int:
+        n_global = len(self.global_feat.split(",")) if self.global_feat else 0
+        fp = _vit_fp_channels(list(self.encoder_channel_list),
+                              self.n_decoder_stages, self.channel_scaling)
+        return fp[0] * (n_global + 1)
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        n = self.n_decoder_stages
+        fp_channels = _vit_fp_channels(list(self.encoder_channel_list),
+                                       n, self.channel_scaling)
+        p, f = _vit_insert_levels(p, f, n, self.scale, self.sampler)
+        cls_token = f[-1][:, 0:1, :]
+        f[-1] = f[-1][:, 1:, :]
+        for i in range(-1, -n - 1, -1):
+            f[i - 1] = _ViTFP(fp_channels[i], self.decoder_layers,
+                              name=f"fp{n + i}")(
+                p[i - 1], f[i - 1], p[i], f[i], training)
+        return _vit_global_concat(f[-n - 1], cls_token, self.global_feat)
+
+
+@MODELS.register_module()
+class PointViTPartDecoder(nn.Module):
+    """Part-seg ViT decoder with shape-class conditioning
+    (parity: pointvit.py:270-392 PointViTPartDecoder)."""
+
+    encoder_channel_list: Sequence[int]
+    decoder_layers: int = 2
+    n_decoder_stages: int = 2
+    scale: int = 4
+    channel_scaling: int = 1
+    sampler: str = "fps"
+    global_feat: Optional[str] = None
+    progressive_input: bool = False
+    cls_map: str = "pointnet2"
+    num_classes: int = 16
+    act_args: Optional[dict] = None
+
+    @property
+    def out_channels(self) -> int:
+        n_global = len(self.global_feat.split(",")) if self.global_feat else 0
+        fp = _vit_fp_channels(list(self.encoder_channel_list),
+                              self.n_decoder_stages, self.channel_scaling)
+        return fp[0] * (n_global + 1)
+
+    @nn.compact
+    def __call__(self, p, f, cls_label, training: bool = False):
+        n = self.n_decoder_stages
+        fp_channels = _vit_fp_channels(list(self.encoder_channel_list),
+                                       n, self.channel_scaling)
+        p, f = _vit_insert_levels(p, f, n, self.scale, self.sampler)
+        cls_token = f[-1][:, 0:1, :]
+        f[-1] = f[-1][:, 1:, :]
+        B, N = p[0].shape[0], p[0].shape[1]
+        one_hot = jax.nn.one_hot(jnp.reshape(cls_label, (B,)),
+                                 self.num_classes, dtype=f[-1].dtype)
+        cls_feat = None
+        if self.cls_map == "pointnet2":
+            # one-hot -> 64-wide conv (pointvit.py:330-333, 366-369)
+            cls_feat = ConvBlock(64, norm_args=None,
+                                 act_args=self.act_args or {"act": "relu"},
+                                 name="convc")(
+                jnp.broadcast_to(one_hot[:, None, :],
+                                 (B, N, self.num_classes)), training)
+        for i in range(-1, -n, -1):
+            f[i - 1] = _ViTFP(fp_channels[i], self.decoder_layers,
+                              name=f"fp{n + i}")(
+                p[i - 1], f[i - 1], p[i], f[i], training)
+        i = -n  # shallowest stage gets the class features (pointvit.py:376-378)
+        f1 = f[i - 1]
+        if cls_feat is not None:
+            f1 = cls_feat if f1 is None else jnp.concatenate(
+                [cls_feat, f1], axis=-1)
+        f[i - 1] = _ViTFP(fp_channels[i], self.decoder_layers, name="fp0")(
+            p[i - 1], f1, p[i], f[i], training)
+        return _vit_global_concat(f[-n - 1], cls_token, self.global_feat)
 
 
 class KMeansEmbed(nn.Module):

@@ -69,3 +69,48 @@ class BaseCls(nn.Module):
         if self.prediction is None:
             return feat
         return self.prediction(feat, training)
+
+
+@MODELS.register_module()
+class DistillCls(nn.Module):
+    """Student classifier with a distillation head
+    (parity: cls_base.py:43-74 DistillCls): the encoder (built with
+    ``distill=True``) returns (global_feat, distill_token_feat) in training;
+    logits come from the cls head, distill logits from ``dist_head``. The
+    frozen teacher model lives in the engine/loss (a separate params pytree —
+    idiomatic JAX), not inside this module; DistillLoss consumes
+    (student_logits, dist_logits, teacher_logits)."""
+
+    encoder_args: dict
+    cls_args: Optional[dict] = None
+    distill_args: Optional[dict] = None
+    criterion_args: Optional[dict] = None  # consumed by the engine
+
+    def setup(self):
+        enc_args = dict(self.encoder_args)
+        enc_args.setdefault("distill", True)
+        self.distill = bool(enc_args.get("distill", True))
+        self.encoder = build_model_from_cfg(enc_args)
+        if self.cls_args is not None:
+            cls_args = dict(self.cls_args)
+            if cls_args.get("in_channels") is None and hasattr(
+                    self.encoder, "out_channels"):
+                cls_args["in_channels"] = self.encoder.out_channels
+            self.prediction = build_model_from_cfg(cls_args)
+        else:
+            self.prediction = None
+        head_args = dict((self.distill_args or {}).get(
+            "distill_head_args", {"NAME": "ClsHead", "num_classes": 15,
+                                  "mlps": None}))
+        if head_args.get("in_channels") is None and hasattr(
+                self.encoder, "distill_channels"):
+            head_args["in_channels"] = self.encoder.distill_channels
+        self.dist_head = build_model_from_cfg(head_args)
+
+    def __call__(self, pos, x=None, training: bool = False):
+        out = self.encoder.forward_cls_feat(pos, x, training)
+        if self.distill and training:
+            global_feat, dist_feat = out
+            return (self.prediction(global_feat, training),
+                    self.dist_head(dist_feat, training))
+        return self.prediction(out, training)

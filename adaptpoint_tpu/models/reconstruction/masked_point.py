@@ -67,6 +67,53 @@ class NodeShuffle(nn.Module):
 
 
 @MODELS.register_module()
+class FoldingNet(nn.Module):
+    """Coarse-then-fold decoder from a single global feature
+    (parity: base_recontruct.py:102-168 FoldingNet): folding1 predicts
+    ``num_coarse`` seed points from the global code; folding2 deforms a 2-D
+    grid patch around each coarse point into ``num_fine`` points."""
+
+    in_channels: int = 1024
+    emb_dims: int = 1024
+    num_fine: int = 1024
+    grid_size: int = 2
+
+    @property
+    def num_coarse(self) -> int:
+        return self.num_fine // self.grid_size ** 2
+
+    @nn.compact
+    def __call__(self, xyz, x, training: bool = False):
+        B = x.shape[0]
+        g2 = self.grid_size ** 2
+        # folding1: global code -> coarse skeleton (base_recontruct.py:119-124)
+        h = nn.Dense(self.emb_dims, kernel_init=torch_linear_init)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.emb_dims, kernel_init=torch_linear_init)(h)
+        h = nn.relu(h)
+        coarse = nn.Dense(self.num_coarse * 3,
+                          kernel_init=torch_linear_init)(h)
+        coarse = coarse.reshape(B, self.num_coarse, 3)
+        # 2-D folding seed grid in [-0.05, 0.05]^2 (base_recontruct.py:134-136)
+        a = jnp.linspace(-0.05, 0.05, self.grid_size)
+        seed = jnp.stack(jnp.meshgrid(a, a, indexing="xy"), axis=-1)
+        seed = seed.reshape(1, 1, g2, 2)
+        seed = jnp.broadcast_to(seed, (B, self.num_coarse, g2, 2))
+        seed = seed.reshape(B, self.num_fine, 2)
+        center = jnp.repeat(coarse, g2, axis=1)  # (B, num_fine, 3)
+        code = jnp.broadcast_to(x[:, None, :],
+                                (B, self.num_fine, x.shape[-1]))
+        feat = jnp.concatenate([code, seed, center], axis=-1)
+        # folding2 (base_recontruct.py:127-132)
+        h = nn.Dense(512, kernel_init=torch_linear_init)(feat)
+        h = nn.relu(h)
+        h = nn.Dense(512, kernel_init=torch_linear_init)(h)
+        h = nn.relu(h)
+        fine = nn.Dense(3, kernel_init=torch_linear_init)(h) + center
+        return coarse, fine
+
+
+@MODELS.register_module()
 class MaskedTransformerDecoder(nn.Module):
     """MAE transformer decoder with mask tokens
     (parity: reconstruction/maskedpointvit.py:14-90 MaskedTransformerDecoder):
