@@ -46,23 +46,55 @@ class NumpyLoader:
             out[key] = np.stack(vals, axis=0)
         return out
 
+    def _batch_indices(self, order, b):
+        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        n_valid = len(idxs)
+        if n_valid < self.batch_size and self.pad_last:
+            pad = np.resize(idxs, self.batch_size - n_valid)
+            idxs = np.concatenate([idxs, pad])
+        return idxs, n_valid
+
+    def _make_batch(self, order, b) -> Dict[str, np.ndarray]:
+        idxs, n_valid = self._batch_indices(order, b)
+        samples = []
+        for i in idxs:
+            sample_rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            samples.append(self.dataset.get(int(i), sample_rng))
+        batch = self._collate(samples)
+        batch["n_valid"] = np.asarray(n_valid, np.int32)
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         rng = np.random.default_rng((self.seed, self.epoch))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         nb = len(self)
 
-        def fetch(i):
-            sample_rng = np.random.default_rng((self.seed, self.epoch, int(i)))
-            return self.dataset.get(int(i), sample_rng)
+        if self.num_workers <= 0:
+            for b in range(nb):
+                yield self._make_batch(order, b)
+            return
 
-        for b in range(nb):
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            n_valid = len(idxs)
-            if n_valid < self.batch_size and self.pad_last:
-                pad = np.resize(idxs, self.batch_size - n_valid)
-                idxs = np.concatenate([idxs, pad])
-            samples = [fetch(i) for i in idxs]
-            batch = self._collate(samples)
-            batch["n_valid"] = np.asarray(n_valid, np.int32)
-            yield batch
+        # multi-worker path (parity: DataLoader num_workers,
+        # openpoints/dataset/build.py:79-98): a thread pool assembles whole
+        # batches ahead of the consumer — per-sample RNG seeding is identical
+        # to the inline path, so batches are bit-identical in either mode.
+        # Threads (not processes): transforms are numpy-releasing-GIL and the
+        # fixtures are shared in-memory arrays, so fork/pickle buys nothing.
+        import collections
+
+        ex = _fut.ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            depth = max(2, self.num_workers)  # batches in flight (prefetch)
+            pending = collections.deque(
+                ex.submit(self._make_batch, order, b)
+                for b in range(min(depth, nb)))
+            next_b = len(pending)
+            while pending:
+                batch = pending.popleft().result()
+                if next_b < nb:
+                    pending.append(ex.submit(self._make_batch, order, next_b))
+                    next_b += 1
+                yield batch
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)

@@ -172,10 +172,12 @@ def main(cfg):
             save_checkpoint(cfg, _state_payload(state), epoch,
                             is_best=is_best, additional={"best_val": best_val})
 
-    # final tests (train_autoaug.py:437-456)
+    # final tests on BOTH latest and best states (train_autoaug.py:437-456:
+    # the reference runs test + the corruption sweep for each)
     test_macc, test_oa, test_accs, _ = validate(eval_step, state, test_loader,
                                                 mesh, cfg)
     print_cls_results(test_oa, test_macc, test_accs, best_epoch, cfg)
+    _corruption_eval(cfg, eval_step, state, mesh, "final_latest")
     if cfg.get("run_name"):
         best_path = os.path.join(cfg.ckpt_dir, f"{cfg.run_name}_ckpt_best.msgpack")
         if os.path.exists(best_path):

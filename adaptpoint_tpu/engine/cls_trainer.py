@@ -79,10 +79,14 @@ def make_train_step(model, tx, criterion, cfg):
     npoints = int(cfg.num_points)
     in_channels = int(cfg.model.get("in_channels", None)
                       or cfg.model.encoder_args.in_channels)
+    # adahessian needs the Hutchinson Hessian-diagonal probe each step
+    # (parity: openpoints/optim/adahessian.py:76-101 set_hessian)
+    second_order = str(cfg.get("optimizer", {}).get(
+        "NAME", "")).lower() == "adahessian"
 
     @jax.jit
     def train_step(state: TrainState, batch, rng, lr):
-        rng_fps, rng_drop = jax.random.split(rng)
+        rng_fps, rng_drop, rng_hess = jax.random.split(rng, 3)
         points = batch["x"]  # (B, N, C) channels-last
         points = resample_points(rng_fps, points, npoints)
         pos = points[..., :3]
@@ -100,7 +104,14 @@ def make_train_step(model, tx, criterion, cfg):
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         opt_state = set_lr(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
+        if second_order:
+            from ..optim.adahessian import hutchinson_hess_diag
+            gfn = lambda p: jax.grad(loss_fn, has_aux=True)(p)[0]  # noqa: E731
+            hess = hutchinson_hess_diag(gfn, state.params, rng_hess)
+            updates, opt_state = tx.update(grads, opt_state, state.params,
+                                           hess_diag=hess)
+        else:
+            updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=opt_state, step=state.step + 1)

@@ -51,14 +51,16 @@ def _split3(x):
 def gather_splits() -> int:
     """Value-gather precision for the one-hot MXU gathers.
 
-    2 (default) reconstructs ~19 mantissa bits (maxerr ~1e-4 on unit-scale
-    clouds) and is ~30% faster at the PointNeXt stage-1 shape; 3 is the
-    bit-exact golden mode (matches the XLA gather bit-for-bit); 1 is plain
+    3 (default) is the bit-exact golden mode (matches the XLA gather
+    bit-for-bit); 2 reconstructs ~19 mantissa bits (maxerr ~1e-4 on
+    unit-scale clouds, ~2% faster with the k-batched selection); 1 is plain
     bf16. Ball-query SELECTION is exact f32 in every mode — only gathered
-    dp/fj/fi values round. Set ``ADAPTPOINT_TPU_GATHER_SPLITS=3`` for
-    golden-value comparisons."""
+    dp/fj/fi values round. The default moved 2 -> 3 in round 2: with the
+    rank-based k-parallel selection the gather matmuls are no longer the
+    bottleneck, so exactness is nearly free (9.37 vs 9.21 ms at
+    B=128 N=1024 M=512 C=32)."""
     import os
-    v = int(os.environ.get("ADAPTPOINT_TPU_GATHER_SPLITS", "2"))
+    v = int(os.environ.get("ADAPTPOINT_TPU_GATHER_SPLITS", "3"))
     if v not in (1, 2, 3):
         raise ValueError(f"ADAPTPOINT_TPU_GATHER_SPLITS must be 1|2|3, got {v}")
     return v
@@ -73,9 +75,9 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
 
 
 def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
-                idx_ref, mask_scr, idxacc_scr, *, radius: float,
+                idx_ref, *, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
-                normalize_dp: bool, splits: int = 3):
+                normalize_dp: bool, splits: int = 3, g_batch: int = 8):
     # xyz_ref (1,N,3) f32 | qidx_ref (1,TM,1) i32
     # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
     # (packed in XLA behind optimization_barriers so each per-k gather is ONE
@@ -83,14 +85,22 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
     # outs: newxyz (1,TM,3), fi (1,TM,C) center feats,
     #       dpfj (1,K,TM,3+C) packed [dp || fj] (a separate (...,3) dp output
     #       would pad 3 -> 128 lanes in HBM: 42x memory blow-up), idx (1,TM,K)
+    #
+    # Selection is RANK-BASED and k-parallel (no sequential min-reduction
+    # chain): rank[m,j] = #in-ball lanes <= j, computed exactly by chunked
+    # lower-triangular bf16 matmuls with f32 accumulation; slot k's one-hot
+    # is (rank == k+1), padded with the first-in-ball one-hot (or lane 0 when
+    # the ball is empty — the CUDA memset rule). g_batch slots are stacked
+    # into one (G*TM, N) one-hot so each gather is a big MXU matmul; the
+    # neighbor index rides along as two extra exact bf16 lane columns.
     _, n_pad, _ = xyz_ref.shape
     tm = qidx_ref.shape[1]
     K = nsample
+    G = g_batch
 
     xyz = xyz_ref[0]  # (N,3)
     x_hi, x_mid, x_lo = _split3(xyz)
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
 
     # gather query centers by one-hot matmul
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
@@ -109,17 +119,44 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
           + jnp.sum(xyz * xyz, axis=1)[None, :] - 2.0 * cross)
 
     inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
-    mask_scr[:] = inball
-    idxacc_scr[:] = jnp.zeros((tm, K), jnp.int32)
+
+    # exact in-ball rank by chunked tril matmul (0/1 bf16 in, f32 acc)
+    CH = 128
+    mb = inball.astype(jnp.bfloat16)
+    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+            ).astype(jnp.bfloat16)
+    chunks = []
+    carry = jnp.zeros((tm, 1), jnp.float32)
+    for c in range(n_pad // CH):
+        r = jnp.dot(mb[:, c * CH:(c + 1) * CH], tril,
+                    preferred_element_type=jnp.float32) + carry
+        chunks.append(r)
+        carry = r[:, CH - 1:CH]
+    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
+    count = carry.astype(jnp.int32)  # (TM,1)
+    # masked rank: 0 on out-of-ball lanes so (ranked == k+1) is the slot-k
+    # one-hot directly
+    ranked = jnp.where(inball, rank, 0)
+    oh_first = (ranked == 1).astype(jnp.int32)
+    oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
 
     fcat = fcat_ref[0]  # (N, splits*w) bf16
+    W = fcat.shape[-1]
+    # exact 2-split bf16 lane-index columns: gathers return the selected
+    # index for free in the same matmul
+    lane_col = lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).astype(
+        jnp.float32)
+    lc_hi = lane_col.astype(jnp.bfloat16)
+    lc_lo = (lane_col - lc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    fcat_ext = jnp.concatenate([fcat, lc_hi, lc_lo], axis=1)  # (N, W+2)
+
     # center features at the query indices (kills the use_res/'df' XLA gather)
     rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
     rq_sum = rq[:, :w]
     for _s in range(1, splits):
         rq_sum = rq_sum + rq[:, _s * w:(_s + 1) * w]
     fi_ref[0] = rq_sum[:, 3:]
-    BIG = jnp.int32(2 ** 30)
 
     # lane-placement constants: q is broadcast into cols 0..2 of a (TM, w)
     # row with exact elementwise selects (an MXU placement matmul would
@@ -128,41 +165,54 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
     dp_scale = jnp.float32(1.0 / radius) if (relative and normalize_dp) \
         else jnp.float32(1.0)
     scale_row = jnp.where(colw < 3, dp_scale, jnp.float32(1.0))  # (1, w)
+    if relative:
+        q_wide = (jnp.where(colw == 0, q[:, 0:1], 0.0)
+                  + jnp.where(colw == 1, q[:, 1:2], 0.0)
+                  + jnp.where(colw == 2, q[:, 2:3], 0.0))
 
-    def body(k, first_idx):
-        mask = mask_scr[:]
-        key = jnp.where(mask, lane, BIG)
-        val = jnp.min(key, axis=1, keepdims=True)  # (TM,1)
-        valid = val < BIG
-        # empty-ball k=0 falls back to index 0 (CUDA memset rule)
-        first_idx = jnp.where(k == 0, jnp.where(valid, val, 0), first_idx)
-        sel = jnp.where(valid, val, first_idx)  # (TM,1)
-        mask_scr[:] = mask & (lane != val)
-        idxacc_scr[:] = jnp.where(kidx == k, sel, idxacc_scr[:])
-        oh = (lane == sel).astype(jnp.bfloat16)  # (TM,N)
-        r = jnp.dot(oh, fcat, preferred_element_type=jnp.float32)
+    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
+    idxacc = jnp.zeros((tm, K), jnp.int32)
+
+    for k0 in range(0, K, G):
+        # (G*TM, N) stacked one-hots for slots k0..k0+G-1 (k-parallel)
+        pieces = []
+        for gi in range(G):
+            k = k0 + gi
+            ohk = (ranked == k + 1).astype(jnp.int32)
+            pieces.append(jnp.where(count > k, ohk, oh_first))
+        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
+        r = jnp.dot(oh.astype(jnp.bfloat16), fcat_ext,
+                    preferred_element_type=jnp.float32)  # (G*TM, W+2)
         g = r[:, :w]
         for _s in range(1, splits):
-            g = g + r[:, _s * w:(_s + 1) * w]  # (TM, w) = [xyz_j || f_j]
+            g = g + r[:, _s * w:(_s + 1) * w]
+        sel_f = r[:, W:W + 1] + r[:, W + 1:W + 2]  # (G*TM, 1) exact
         if relative:
-            q_wide = (jnp.where(colw == 0, q[:, 0:1], 0.0)
-                      + jnp.where(colw == 1, q[:, 1:2], 0.0)
-                      + jnp.where(colw == 2, q[:, 2:3], 0.0))
-            g = (g - q_wide) * scale_row
-        dpfj_ref[0, pl.ds(k, 1), :, :] = g[None]
-        return first_idx
-
-    lax.fori_loop(0, K, body, jnp.zeros((tm, 1), jnp.int32))
-    idx_ref[0] = idxacc_scr[:]
+            for gi in range(G):
+                gg = (g[gi * tm:(gi + 1) * tm] - q_wide) * scale_row
+                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = gg[None]
+        else:
+            for gi in range(G):
+                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = \
+                    g[gi * tm:(gi + 1) * tm][None]
+        sel_i = sel_f.astype(jnp.int32)
+        for gi in range(G):
+            idxacc = jnp.where(kidx == k0 + gi,
+                               sel_i[gi * tm:(gi + 1) * tm], idxacc)
+    idx_ref[0] = idxacc
 
 
 def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
                 g_fx_ref, *, radius: float, nsample: int,
-                relative: bool, normalize_dp: bool):
+                relative: bool, normalize_dp: bool, g_batch: int = 8):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
     # idx (1,TM,K) i32; qidx (1,TM,1) i32; g_new (1,TM,3); g_fi (1,TM,C);
     # g_dpfj (1,K,TM,3+C) packed; out: g_fx (1,N,3+C) packed
+    #
+    # g_batch slots are stacked into one (G*TM, N) one-hot per scatter-add
+    # matmul (same k-parallel trick as the forward).
     K = nsample
+    G = g_batch
     tm = idx_ref.shape[1]
     n_pad = g_fx_ref.shape[1]
     w = g_fx_ref.shape[2]
@@ -173,6 +223,7 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
         g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    lane_g = lane if G == 1 else jnp.concatenate([lane] * G, axis=0)
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
@@ -183,18 +234,27 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
     colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
     scale_row = jnp.where(colw < 3, jnp.float32(scale), jnp.float32(1.0))
 
-    def k_body(k, carry):
-        acc, gdp_sum = carry
-        # extract column k of idx without a dynamic lane index
-        sel = jnp.max(jnp.where(kidx == k, idx_all, 0), axis=1)  # (TM,)
-        ohT = (lane == sel[:, None]).astype(jnp.bfloat16).T  # (N,TM)
-        gcat = g_dpfj_ref[0, pl.ds(k, 1), :, :][0] * scale_row  # (TM, w)
-        acc += _oh_matmul(ohT, *_split3(gcat))
+    for k0 in range(0, K, G):
+        # (G*TM,) selected indices for slots k0..k0+G-1
+        sel = jnp.concatenate(
+            [jnp.max(jnp.where(kidx == k0 + gi, idx_all, 0), axis=1,
+                     keepdims=True) for gi in range(G)], axis=0)  # (G*TM,1)
+        oh = (lane_g == sel).astype(jnp.bfloat16)  # (G*TM, N)
+        gcat = jnp.concatenate(
+            [g_dpfj_ref[0, pl.ds(k0 + gi, 1), :, :][0] for gi in range(G)],
+            axis=0) * scale_row  # (G*TM, w)
+        # scatter-add: (N, G*TM) @ (G*TM, w) via lhs-contraction on dim 0
+        hi, mid, lo = _split3(gcat)
+        dn = (((0,), (0,)), ((), ()))
+        acc += lax.dot_general(oh, hi, dn,
+                               preferred_element_type=jnp.float32)
+        acc += lax.dot_general(oh, mid, dn,
+                               preferred_element_type=jnp.float32)
+        acc += lax.dot_general(oh, lo, dn,
+                               preferred_element_type=jnp.float32)
         if relative:
-            gdp_sum = gdp_sum + gcat[:, :3]  # static lane slice: exact
-        return acc, gdp_sum
-
-    acc, gdp_sum = lax.fori_loop(0, K, k_body, (acc, gdp_sum))
+            for gi in range(G):
+                gdp_sum = gdp_sum + gcat[gi * tm:(gi + 1) * tm, :3]
     # query-row contributions: d(newxyz) (+ -sum_k gdp if relative) and d(fi)
     gq_xyz = g_new_ref[0] - gdp_sum if relative else g_new_ref[0]
     gq = jnp.concatenate([gq_xyz, g_fi_ref[0]], axis=1)  # 2-way concat: ok
@@ -202,25 +262,38 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
     g_fx_ref[0] = g_fx_ref[0] + acc
 
 
-def _pick_tm(m: int, n_pad: int, c_pad: int, k: int,
-             fixed_bytes: int = 0) -> int:
-    """Tile size fitting the 16MB scoped-VMEM limit.
+def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
+               fixed_bytes: int = 0) -> tuple:
+    """(tile, g_batch) fitting the 16MB scoped-VMEM limit.
 
-    Accounts for: oh bf16 + d2 f32 + mask + iota (tm, n_pad); the dp and fj
-    output tiles are double-buffered and LANE-PADDED to 128 (dp's 3 and any
-    C<128 still occupy 128 lanes in VMEM); plus caller-supplied fixed block
-    bytes (the per-batch xyz/fcat input blocks, which do NOT shrink with
-    tm — missing them OOM'd the N=2048 augmentor grouper)."""
-    tm = 256
-    while tm > 8:
-        work = tm * n_pad * 16
+    Accounts for: the rank/mask working set (tm, n_pad) i32/f32; the
+    k-parallel stacked one-hot (g*tm, n_pad) in i32 + bf16; double-buffered
+    lane-padded output tiles; plus caller-supplied fixed block bytes (the
+    per-batch xyz/fcat input blocks, which do NOT shrink with tm — missing
+    them OOM'd the N=2048 augmentor grouper). Prefers a large g (fewer,
+    bigger MXU gathers) over a large tm."""
+    budget = 10 * 1024 * 1024
+
+    def fits(tm, g):
+        work = tm * n_pad * 16           # rank, d2, mask, iota
+        sel = g * tm * n_pad * 7         # stacked one-hot i32 + bf16 + copy
         out_tiles = 2 * (k * tm * 128 * 4 + k * tm * c_pad * 4)
-        if fixed_bytes + work + out_tiles <= 10 * 1024 * 1024:
-            break
-        tm //= 2
-    while m % tm != 0 and tm > 1:
-        tm //= 2
-    return max(tm, 1)
+        return fixed_bytes + work + sel + out_tiles <= budget
+
+    # prefer big tiles (amortize per-tile distance/rank/fcat work), then a
+    # big k-batch (fewer, fuller MXU gathers)
+    for tm in (256, 128, 64, 32, 16, 8):
+        if m % tm != 0 and tm > m:
+            continue
+        t = tm
+        while m % t != 0 and t > 1:
+            t //= 2
+        for g in (8, 4, 2, 1):
+            if k % g != 0:
+                continue
+            if fits(t, g):
+                return t, g
+    return 1, 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6))
@@ -260,8 +333,9 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
     fcat = jnp.concatenate(parts, axis=-1)  # (B, N, splits*w) bf16
     fixed = (2 * n_pad * 128 * 4  # xyz block f32, lane-padded, dbl-buffered
-             + 2 * n_pad * _round_up(fcat.shape[-1], 128) * 2)  # fcat bf16
-    tm = _pick_tm(M, n_pad, c_pad, K, fixed)
+             + 2 * n_pad * _round_up(fcat.shape[-1], 128) * 2  # fcat bf16
+             + n_pad * _round_up(fcat.shape[-1] + 2, 128) * 2)  # fcat_ext
+    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, K, fixed)
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -269,7 +343,8 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
     w = C + 3
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N, w=w,
-        relative=relative, normalize_dp=normalize_dp, splits=splits)
+        relative=relative, normalize_dp=normalize_dp, splits=splits,
+        g_batch=g_batch)
     new_xyz, fi, dpfj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
@@ -297,8 +372,6 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             jax.ShapeDtypeStruct((B, K, M, C + 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((tm, n_pad), jnp.bool_),
-                        pltpu.VMEM((tm, K), jnp.int32)],
     )(xyz, query_idx.astype(jnp.int32)[:, :, None], fcat)
     return new_xyz, fi, dpfj, idx
 
@@ -319,12 +392,12 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
     # bwd fixed blocks: the revisited (n_pad, 3+C) f32 accumulator output
-    tm = _pick_tm(M, n_pad, _round_up(c, 128), K,
-                  n_pad * _round_up(c + 3, 128) * 4)
+    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c, 128), K,
+                             n_pad * _round_up(c + 3, 128) * 4)
 
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
-        normalize_dp=normalize_dp)
+        normalize_dp=normalize_dp, g_batch=g_batch)
     g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),

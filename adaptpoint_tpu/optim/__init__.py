@@ -150,6 +150,12 @@ def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
                          delta=kwargs.get("delta", 0.1),
                          wd_ratio=kwargs.get("wd_ratio", 0.1),
                          nesterov=kwargs.get("nesterov", False))
+        if name == "adahessian":
+            from .adahessian import adahessian as _adahessian
+            return _adahessian(learning_rate, b1=betas[0], b2=betas[1],
+                               eps=eps, weight_decay=weight_decay,
+                               hessian_power=kwargs.get("hessian_power", 1.0),
+                               mask=mask)
         if name == "lookahead":
             # timm Lookahead wraps an inner optimizer (default adamw)
             inner = optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
@@ -166,4 +172,8 @@ def build_optimizer_from_cfg(params, lr: float, NAME: str = "adamw",
             layer_decay_scales(params, float(layer_decay))))
     if grad_norm_clip is not None and grad_norm_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
+    if name == "adahessian":
+        # second-order path: the train step passes hess_diag= through the
+        # whole chain (clip/inject forward extra args)
+        tx = optax.with_extra_args_support(tx)
     return tx

@@ -46,7 +46,9 @@ def main():
     cfg.model.in_channels = cfg.model.encoder_args.in_channels
     model = build_model_from_cfg(cfg.model)
     mesh = get_mesh()
-    B, N = 32, 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    print(f"B={B} N={N}", flush=True)
     batch = {"x": rng.standard_normal((B, N, 4)).astype(np.float32),
              "y": rng.integers(0, 15, B).astype(np.int64)}
     key = jax.random.PRNGKey(0)

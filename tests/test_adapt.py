@@ -54,6 +54,7 @@ def test_gumbel_softmax_hard_straight_through():
     assert np.asarray(jnp.abs(g)).sum() > 0
 
 
+@pytest.mark.slow
 def test_augmentor_forward(cloud):
     gen = build_adaptpointmodels_from_cfg({
         "NAME": "AdaptPoint_Augmentor", "w_num_anchor": 4, "w_sigma": 0.5,
@@ -71,6 +72,7 @@ def test_augmentor_forward(cloud):
     assert (r <= 1.0 + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_augmentor_grads_flow(cloud):
     gen = build_adaptpointmodels_from_cfg({"NAME": "AdaptPoint_Augmentor"})
     rngs = {"params": jax.random.PRNGKey(0), "wolf": jax.random.PRNGKey(1),

@@ -17,7 +17,9 @@ def test_adaptpoint_two_phase_loop(tmp_path):
     cfg = EasyConfig()
     cfg.load(os.path.join(REPO, "cfgs/synthetic/pointnext-tiny_adaptpoint.yaml"),
              recursive=True)
-    cfg.update_opts(["epochs=2", "batch_size=16", "val_batch_size=16"])
+    cfg.update_opts(["epochs=2", "batch_size=16", "val_batch_size=16",
+                     "dataset.common.size=48", "dataset.common.num_points=96",
+                     "num_points=96"])
     cfg.run_dir = str(tmp_path)
     cfg.run_name = "adapt_test"
     cfg.ckpt_dir = str(tmp_path / "checkpoint")
@@ -25,7 +27,11 @@ def test_adaptpoint_two_phase_loop(tmp_path):
 
     from adaptpoint_tpu.engine.adapt_main import main
     best_val = main(cfg)
-    assert best_val >= 0
+    # the synthetic task is separable: two phase-B epochs on the fake buffer
+    # must beat an untrained classifier (best_val is % OA; 0.0 would mean no
+    # validation pass ever scored a single cloud right — the old >= 0
+    # assertion was vacuous, VERDICT.md weak #6)
+    assert best_val > 0
     # GAN checkpoint written each epoch (parity: model_gan.pth)
     assert os.path.exists(os.path.join(cfg.run_dir, "model_gan.msgpack"))
     assert os.path.exists(os.path.join(cfg.ckpt_dir,
@@ -39,9 +45,10 @@ def test_adaptpoint_fused_on_device(tmp_path):
     cfg.load(os.path.join(REPO, "cfgs/synthetic/pointnext-tiny_adaptpoint.yaml"),
              recursive=True)
     cfg.update_opts(["epochs=1", "batch_size=16", "val_batch_size=16",
-                     "adaptpoint_fused=True"])
+                     "dataset.common.size=32", "dataset.common.num_points=96",
+                     "num_points=96", "adaptpoint_fused=True"])
     cfg.run_dir = str(tmp_path)
     cfg.run_name = None
     from adaptpoint_tpu.engine.adapt_main import main
     best_val = main(cfg)
-    assert best_val >= 0
+    assert best_val > 0

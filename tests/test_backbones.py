@@ -97,6 +97,7 @@ def test_deepgcn(inputs):
     assert out.shape == (2, 64)
 
 
+@pytest.mark.slow
 def test_curvenet(rng_np):
     pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
     cls0 = jnp.zeros((2,), jnp.int32)
@@ -109,6 +110,7 @@ def test_curvenet(rng_np):
     assert out.shape == (2, 256, 50)
 
 
+@pytest.mark.slow
 def test_pointtransformer(rng_np):
     pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
@@ -122,6 +124,7 @@ def test_pointtransformer(rng_np):
     assert out.shape == (2, 64)
 
 
+@pytest.mark.slow
 def test_simpleview(rng_np):
     pos = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
     m = MODELS.build({"NAME": "MVModel", "num_classes": 15, "channels": 4,
@@ -131,6 +134,7 @@ def test_simpleview(rng_np):
     assert out.shape == (2, 15)
 
 
+@pytest.mark.slow
 def test_randlanet(rng_np):
     pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
@@ -165,6 +169,7 @@ def test_grouppointnet(inputs):
     assert out.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_baafnet(rng_np):
     pos = jnp.asarray(rng_np.standard_normal((2, 256, 3)), jnp.float32)
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
@@ -178,6 +183,7 @@ def test_baafnet(rng_np):
     assert jnp.isfinite(out2).all()
 
 
+@pytest.mark.slow
 def test_stratified_window_keys_match_bruteforce(rng_np):
     """The hashed-bucket key sets must reproduce get_indice_pairs semantics:
     fine pairs = same fine window; stratified keys = downsampled points in
@@ -205,6 +211,7 @@ def test_stratified_window_keys_match_bruteforce(rng_np):
         assert got == fine | strat, (i, got, fine | strat)
 
 
+@pytest.mark.slow
 def test_stratified_transformer(rng_np):
     from adaptpoint_tpu.models import build_model_from_cfg
     m = build_model_from_cfg({
@@ -238,6 +245,7 @@ def test_pointbert(rng_np):
     assert feat.shape == (2, 128)  # [cls || max-token]
 
 
+@pytest.mark.slow
 def test_vitgraph_and_resnet2d(rng_np):
     from adaptpoint_tpu.models import build_model_from_cfg
     xyz = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)

@@ -49,6 +49,19 @@ def test_adaptpoint_cfg_builds_all_components():
         build_model_from_cfg(c.model)
 
 
+def test_modelnetc_cfgs_build():
+    """The ModelNet-C protocol cfg family loads and drives the modelnetc
+    mode dispatch (VERDICT.md round-1 item 9)."""
+    for name in ["pointnext-s", "dgcnn", "pointnet++_wolfmix"]:
+        c = EasyConfig()
+        c.load(os.path.join(REPO, f"cfgs/modelnetc/{name}.yaml"),
+               recursive=True)
+        assert c.mode == "modelnetc"
+        assert c.num_classes == 40
+        build_model_from_cfg(c.model)
+    assert c.get("wolfmix") and c.pointwolf and c.rsmix_params
+
+
 def test_plateau_scheduler():
     from adaptpoint_tpu.scheduler import build_scheduler_from_cfg
     from adaptpoint_tpu.utils import EasyConfig

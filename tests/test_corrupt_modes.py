@@ -28,7 +28,11 @@ def base_cfg(tmp_path):
     return cfg
 
 
-@pytest.mark.parametrize("variant", ["plain", "pointwolf", "rsmix", "wolfmix"])
+@pytest.mark.parametrize("variant", [
+    "plain",
+    pytest.param("pointwolf", marks=pytest.mark.slow),
+    pytest.param("rsmix", marks=pytest.mark.slow),
+    pytest.param("wolfmix", marks=pytest.mark.slow)])
 def test_scanobjectnnc_mode_variants(tmp_path, variant):
     cfg = base_cfg(tmp_path / variant)
     if variant == "pointwolf":

@@ -29,6 +29,7 @@ def _one_sgd_step(model, variables, loss_fn):
     return new_params
 
 
+@pytest.mark.slow
 def test_pointnet2_partseg(inputs):
     pos, x = inputs
     model = build_model_from_cfg({
@@ -55,6 +56,7 @@ def test_pointnet2_partseg(inputs):
     _one_sgd_step(model, v, loss)
 
 
+@pytest.mark.slow
 def test_pointmlp_cls_wrapper(inputs):
     pos, x = inputs
     m = MODELS.build({"NAME": "PointMLP", "in_channels": 4, "num_classes": 15,
@@ -90,6 +92,7 @@ def test_pointvit_decoder(inputs):
     assert out.shape == (2, 128, 13)
 
 
+@pytest.mark.slow
 def test_pointvit_part_decoder(inputs):
     pos, x = inputs
     model = build_model_from_cfg({
@@ -155,6 +158,7 @@ def test_distill_cls_with_distill_loss(inputs):
     assert jnp.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_foldingnet(rng_np):
     m = MODELS.build({"NAME": "FoldingNet", "in_channels": 64,
                       "emb_dims": 128, "num_fine": 64, "grid_size": 2})

@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from adaptpoint_tpu.utils import EasyConfig
 from adaptpoint_tpu.datasets.data_util import crop_pc, voxelize, get_class_weights
@@ -27,6 +28,7 @@ def test_class_weights():
     assert w[0] > w[2]  # rare class weighted higher
 
 
+@pytest.mark.slow
 def test_scene_seg_loop(tmp_path):
     cfg = EasyConfig()
     cfg.update({
@@ -163,6 +165,7 @@ def test_validate_sphere_visualize(tmp_path):
     assert pts.shape[1] == 3 and cols.shape[1] == 3
 
 
+@pytest.mark.slow
 def test_sphere_train_loop_e2e(tmp_path):
     """Full seg_main over S3DISSphere: masked CE train + overlap-vote val."""
     root = _make_fake_s3dis_raw(str(tmp_path / "data"))

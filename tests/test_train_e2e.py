@@ -28,7 +28,9 @@ def test_virtual_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("model_name", ["dgcnn-tiny", "pointnext-tiny"])
+@pytest.mark.parametrize("model_name", [
+    "dgcnn-tiny",
+    pytest.param("pointnext-tiny", marks=pytest.mark.slow)])
 def test_train_loop_learns(model_name):
     cfg = load_cfg(model_name)
     cfg.model.in_channels = cfg.model.encoder_args.in_channels
