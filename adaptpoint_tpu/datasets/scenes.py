@@ -66,8 +66,10 @@ class ScanNet:
 
     def get(self, idx: int, rng: np.random.Generator):
         import torch
+        # weights_only=False: the official preprocessing pickles numpy
+        # arrays, which torch>=2.6 refuses under the weights-only default
         data = torch.load(self.files[idx % len(self.files)],
-                          map_location="cpu")
+                          map_location="cpu", weights_only=False)
         if isinstance(data, (list, tuple)):
             coord, feat, label = (np.asarray(data[0], np.float32),
                                   np.asarray(data[1], np.float32),
@@ -204,7 +206,9 @@ class MP40:
         if not osp.isfile(path):
             raise FileNotFoundError(f"{path} not found")
         with h5py.File(path, "r") as f:
-            grp = f["data"] if "data" in f else f
+            grp = f
+            if "data" in f and isinstance(f["data"], h5py.Group):
+                grp = f["data"]
             self.data = np.asarray(grp["data"], np.float32)
             self.labels = np.asarray(grp["label"], np.int64).reshape(-1)
 
