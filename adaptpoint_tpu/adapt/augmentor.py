@@ -120,11 +120,19 @@ class AnchorSelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = head_dim ** 0.5
+        # bf16 attention matmuls (f32 softmax): head_dim is 16, so the f32
+        # einsum runs the MXU at 1/12 efficiency — bf16 QK^T/AV is 4x and
+        # the controller's attention logits tolerate bf16 rounding (the
+        # reference computes in whatever autocast gives it)
+        kb = k.astype(jnp.bfloat16)
+        vb = v.astype(jnp.bfloat16)
         chunk = 512
         if m <= chunk or m % chunk != 0:
-            attn = jnp.einsum("bhmd,bhnd->bhmn", q, k) / scale
+            attn = jnp.einsum("bhmd,bhnd->bhmn", q.astype(jnp.bfloat16), kb,
+                              preferred_element_type=jnp.float32) / scale
             attn = jax.nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhmn,bhnd->bhmd", attn, v)
+            out = jnp.einsum("bhmn,bhnd->bhmd", attn.astype(jnp.bfloat16),
+                             vb, preferred_element_type=jnp.float32)
         else:
             # exact blockwise attention over query chunks: softmax rows are
             # independent, so chunking queries changes nothing numerically;
@@ -133,9 +141,12 @@ class AnchorSelfAttention(nn.Module):
             # memory kills N=2048 at the reference batch size on 16GB HBM)
             @jax.checkpoint
             def qchunk(qc):
-                a = jnp.einsum("bhmd,bhnd->bhmn", qc, k) / scale
+                a = jnp.einsum("bhmd,bhnd->bhmn", qc.astype(jnp.bfloat16),
+                               kb, preferred_element_type=jnp.float32) / scale
                 a = jax.nn.softmax(a, axis=-1)
-                return jnp.einsum("bhmn,bhnd->bhmd", a, v)
+                return jnp.einsum("bhmn,bhnd->bhmd",
+                                  a.astype(jnp.bfloat16), vb,
+                                  preferred_element_type=jnp.float32)
 
             qs = q.reshape(b, self.head_num, m // chunk, chunk, head_dim)
             out = jax.lax.map(qchunk, jnp.moveaxis(qs, 2, 0))

@@ -154,8 +154,13 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
     bit-identical outputs.
     """
-    # pallas tiles need M divisible by 8 (qidx sublane constraint)
-    if query_idx.shape[1] % 8 == 0:
+    # pallas tiles need M divisible by 8 (qidx sublane constraint); tiny
+    # problems (B*M*K*N < 16M one-hot elements) go to XLA — measured
+    # crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA composite
+    # (2.2 vs 1.5 ms) while every training shape is >=100x above threshold
+    # (scripts/check_ballgroup.py)
+    work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
+    if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
         def _pallas(xyz, query_idx, feats):
             return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
                                      relative, normalize_dp)

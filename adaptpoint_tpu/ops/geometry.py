@@ -112,7 +112,12 @@ def ball_query_xla(radius: float, nsample: int, xyz: jnp.ndarray,
     xyz (B,N,3) support; new_xyz (B,M,3) centers -> idx (B,M,nsample) int32.
     """
     N = xyz.shape[1]
-    d2 = square_distance(new_xyz, xyz)  # (B,M,N)
+    # DIRECT-form distances (dx^2 + dy^2 + dz^2), matching the CUDA
+    # reference's own arithmetic (ball_query_gpu.cu:39) and the Pallas
+    # kernel bit-for-bit — the expanded |a|^2+|b|^2-2ab form disagrees by
+    # ULPs at the strict radius boundary
+    diff = new_xyz[:, :, None, :] - xyz[:, None, :, :]  # (B,M,N,3)
+    d2 = jnp.sum(diff * diff, axis=-1)
     inball = d2 < jnp.float32(radius) ** 2
     ar = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
     # keys: in-ball points keep original order; out-of-ball pushed past N

@@ -74,15 +74,18 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
-def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
-                idx_ref, *, radius: float,
+def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
                 normalize_dp: bool, splits: int = 3, g_batch: int = 8):
-    # xyz_ref (1,N,3) f32 | qidx_ref (1,TM,1) i32
-    # fcat_ref (1,N,3w) bf16: packed [hi|mid|lo] 3-splits of [xyz | feats]
+    # qidx_ref (1,TM,1) i32
+    # fcat_ref (1,N,splits*w) bf16: packed [hi|mid|lo] splits of [xyz | feats]
     # (packed in XLA behind optimization_barriers so each per-k gather is ONE
     #  well-filled MXU matmul instead of three narrow ones)
-    # outs: newxyz (1,TM,3), fi (1,TM,C) center feats,
+    # xyzt_ref (1,3,N) f32: transposed xyz for the DIRECT-form distance —
+    # (q-x)^2 per coordinate, the CUDA reference's own arithmetic
+    # (ball_query_gpu.cu:39); the expanded |a|^2+|b|^2-2ab form disagrees
+    # with it by ULPs at the strict radius boundary
+    # rest: outs: newxyz (1,TM,3), fi (1,TM,C),
     #       dpfj (1,K,TM,3+C) packed [dp || fj] (a separate (...,3) dp output
     #       would pad 3 -> 128 lanes in HBM: 42x memory blow-up), idx (1,TM,K)
     #
@@ -92,31 +95,39 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
     # is (rank == k+1), padded with the first-in-ball one-hot (or lane 0 when
     # the ball is empty — the CUDA memset rule). g_batch slots are stacked
     # into one (G*TM, N) one-hot so each gather is a big MXU matmul; the
-    # neighbor index rides along as two extra exact bf16 lane columns.
-    _, n_pad, _ = xyz_ref.shape
+    # neighbor index falls out of a second tiny matmul against exact 2-split
+    # bf16 lane columns.
+    if splits == 3:
+        newxyz_ref, fi_ref, dpfj_ref, idx_ref = rest
+        xyz_ref = None
+    else:
+        xyz_ref, newxyz_ref, fi_ref, dpfj_ref, idx_ref = rest
+    n_pad = fcat_ref.shape[1]
     tm = qidx_ref.shape[1]
     K = nsample
     G = g_batch
 
-    xyz = xyz_ref[0]  # (N,3)
-    x_hi, x_mid, x_lo = _split3(xyz)
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
 
-    # gather query centers by one-hot matmul
+    # gather query centers by one-hot matmul against the exact split parts
+    if splits == 3:
+        # at 3 splits the packed fcat columns reconstruct xyz exactly, so
+        # no separate (N,3) f32 block is needed
+        x_hi = fcat_ref[0, :, 0:3]
+        x_mid = fcat_ref[0, :, w:w + 3]
+        x_lo = fcat_ref[0, :, 2 * w:2 * w + 3]
+    else:
+        x_hi, x_mid, x_lo = _split3(xyz_ref[0])
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
     q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
     newxyz_ref[0] = q
 
-    # pairwise squared distances (TM,N): 3-split cross term ~ f32 accuracy
-    q_hi, q_mid, q_lo = _split3(q)
-    cross = jnp.dot(q_hi, x_hi.T, preferred_element_type=jnp.float32)
-    cross += jnp.dot(q_hi, x_mid.T, preferred_element_type=jnp.float32)
-    cross += jnp.dot(q_mid, x_hi.T, preferred_element_type=jnp.float32)
-    cross += jnp.dot(q_lo, x_hi.T, preferred_element_type=jnp.float32)
-    cross += jnp.dot(q_hi, x_lo.T, preferred_element_type=jnp.float32)
-    cross += jnp.dot(q_mid, x_mid.T, preferred_element_type=jnp.float32)
-    d2 = (jnp.sum(q * q, axis=1, keepdims=True)
-          + jnp.sum(xyz * xyz, axis=1)[None, :] - 2.0 * cross)
+    # DIRECT-form pairwise squared distances (TM,N)
+    xt = xyzt_ref[0]  # (3, N)
+    dx = q[:, 0:1] - xt[0:1, :]
+    dy = q[:, 1:2] - xt[1:2, :]
+    dz = q[:, 2:3] - xt[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
 
     inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
 
@@ -142,14 +153,13 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
     oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
 
     fcat = fcat_ref[0]  # (N, splits*w) bf16
-    W = fcat.shape[-1]
-    # exact 2-split bf16 lane-index columns: gathers return the selected
-    # index for free in the same matmul
-    lane_col = lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).astype(
+    # exact 2-split bf16 lane-index rows (2, N): a second tiny matmul against
+    # the same one-hot returns the selected index exactly
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1).astype(
         jnp.float32)
-    lc_hi = lane_col.astype(jnp.bfloat16)
-    lc_lo = (lane_col - lc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    fcat_ext = jnp.concatenate([fcat, lc_hi, lc_lo], axis=1)  # (N, W+2)
+    lr_hi = lane_row.astype(jnp.bfloat16)
+    lr_lo = (lane_row - lr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lane_2 = jnp.concatenate([lr_hi, lr_lo], axis=0)  # (2, N) bf16
 
     # center features at the query indices (kills the use_res/'df' XLA gather)
     rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
@@ -181,12 +191,15 @@ def _fwd_kernel(xyz_ref, qidx_ref, fcat_ref, newxyz_ref, fi_ref, dpfj_ref,
             ohk = (ranked == k + 1).astype(jnp.int32)
             pieces.append(jnp.where(count > k, ohk, oh_first))
         oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
-        r = jnp.dot(oh.astype(jnp.bfloat16), fcat_ext,
-                    preferred_element_type=jnp.float32)  # (G*TM, W+2)
+        ohb = oh.astype(jnp.bfloat16)
+        r = jnp.dot(ohb, fcat,
+                    preferred_element_type=jnp.float32)  # (G*TM, splits*w)
         g = r[:, :w]
         for _s in range(1, splits):
             g = g + r[:, _s * w:(_s + 1) * w]
-        sel_f = r[:, W:W + 1] + r[:, W + 1:W + 2]  # (G*TM, 1) exact
+        rs = lax.dot_general(ohb, lane_2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (G*TM,2)
+        sel_f = rs[:, 0:1] + rs[:, 1:2]  # exact
         if relative:
             for gi in range(G):
                 gg = (g[gi * tm:(gi + 1) * tm] - q_wide) * scale_row
@@ -332,30 +345,38 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             parts.append(jax.lax.optimization_barrier(
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
     fcat = jnp.concatenate(parts, axis=-1)  # (B, N, splits*w) bf16
-    fixed = (2 * n_pad * 128 * 4  # xyz block f32, lane-padded, dbl-buffered
-             + 2 * n_pad * _round_up(fcat.shape[-1], 128) * 2  # fcat bf16
-             + n_pad * _round_up(fcat.shape[-1] + 2, 128) * 2)  # fcat_ext
+    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2  # fcat bf16
+             + 2 * 8 * n_pad * 4)  # xyzT (3->8 sublanes, N) f32
+    if splits < 3:
+        fixed += 2 * n_pad * 128 * 4  # separate exact-xyz f32 block
     tm, g_batch = _pick_tm_g(M, n_pad, c_pad, K, fixed)
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
+    xyzt = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, N) for direct-form d2
 
     w = C + 3
     kernel = functools.partial(
         _fwd_kernel, radius=float(radius), nsample=K, n_real=N, w=w,
         relative=relative, normalize_dp=normalize_dp, splits=splits,
         g_batch=g_batch)
+    in_specs = [
+        pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, splits * w), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt]
+    if splits < 3:
+        in_specs.append(pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(xyz)
     new_xyz, fi, dpfj, idx = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, splits * w), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, tm, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -372,7 +393,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             jax.ShapeDtypeStruct((B, K, M, C + 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
-    )(xyz, query_idx.astype(jnp.int32)[:, :, None], fcat)
+    )(*args)
     return new_xyz, fi, dpfj, idx
 
 

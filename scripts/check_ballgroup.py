@@ -44,7 +44,8 @@ def timeit(name, fn, *args, iters=20):
 def main():
     rng = np.random.default_rng(0)
     for (B, N, M, C) in [(4, 128, 64, 32), (128, 1024, 512, 32),
-                         (128, 256, 128, 128)]:
+                         (128, 256, 128, 128), (32, 2048, 1024, 64),
+                         (128, 128, 64, 256)]:
         xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
         feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
         qidx = furthest_point_sample_pallas(xyz, M)

@@ -1,0 +1,175 @@
+"""Generate a synthetic ScanObjectNN(-C) stand-in in the REAL on-disk
+format, so the full real-data pipeline (h5 ingestion, FPS test precompute,
+corruption sweep, OA/CE/RCE -> mOA/mCE/RmCE aggregation, outcorruption.txt)
+runs end-to-end without network access.
+
+Why this exists: the build environment has zero egress, so the actual
+ScanObjectNN downloads (VERDICT.md round-1 item 2) are impossible here.
+This script + `--cfg cfgs/synthetic_sonn/...` is the closest executable
+substitute: identical file names, h5 keys, shapes (2048 pts, 15 classes)
+and corruption taxonomy (7 corruptions x 5 severity levels following the
+ScanObjectNN-C definitions in the AdaptPoint paper / ModelNet-C:
+scale, jitter, rotate, dropout_global, dropout_local, add_global,
+add_local).
+
+Usage:
+    python scripts/make_synthetic_scanobjectnn.py [--root data] \
+        [--train 512] [--test 128]
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from adaptpoint_tpu.datasets.synthetic import _make_cloud  # noqa: E402
+
+N_POINTS = 2048
+N_CLASSES = 15
+
+
+def _normalize(pc):
+    pc = pc - pc.mean(0, keepdims=True)
+    return pc / (np.linalg.norm(pc, axis=1).max() + 1e-9)
+
+
+def make_split(rng, size):
+    labels = rng.integers(0, N_CLASSES, size).astype(np.int64)
+    pts = np.stack([_normalize(_make_cloud(rng, int(c), N_POINTS))
+                    for c in labels])
+    return pts.astype(np.float32), labels
+
+
+# --- corruption operators (severity level 0..4), following the ModelNet-C /
+# ScanObjectNN-C definitions (jitter sigma, scale factor, rotation angle,
+# dropout ratios, added-point counts grow with level) ---
+
+def corrupt_scale(pc, level, rng):
+    s = [1.6, 1.7, 1.8, 1.9, 2.0][level]
+    xyz = pc * np.array([rng.uniform(1 / s, s) for _ in range(3)],
+                        np.float32)
+    return _normalize(xyz)
+
+
+def corrupt_jitter(pc, level, rng):
+    sigma = 0.01 * (level + 1)
+    return pc + rng.standard_normal(pc.shape).astype(np.float32) * sigma
+
+
+def corrupt_rotate(pc, level, rng):
+    theta = np.deg2rad([5, 10, 15, 20, 25][level])
+    angles = rng.uniform(-theta, theta, 3)
+    cx, cy, cz = np.cos(angles)
+    sx, sy, sz = np.sin(angles)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (pc @ (Rz @ Ry @ Rx).T).astype(np.float32)
+
+
+def corrupt_dropout_global(pc, level, rng):
+    ratio = [0.25, 0.375, 0.5, 0.625, 0.75][level]
+    keep = len(pc) - int(len(pc) * ratio)
+    idx = rng.choice(len(pc), keep, replace=False)
+    out = pc[idx]
+    # pad back to fixed shape by repeating (readers slice :num_points)
+    pad = rng.choice(keep, len(pc) - keep, replace=True)
+    return np.concatenate([out, out[pad]], 0)
+
+
+def corrupt_dropout_local(pc, level, rng):
+    n_drop = [100, 200, 300, 400, 500][level]
+    total = 0
+    out = pc.copy()
+    alive = np.ones(len(pc), bool)
+    while total < n_drop:
+        k = min(rng.integers(30, 100), n_drop - total)
+        center = out[rng.integers(0, len(out))]
+        d = np.linalg.norm(out - center, axis=1)
+        victims = np.argsort(d)[:k]
+        alive[victims[alive[victims]]] = False
+        total += k
+    kept = np.nonzero(alive)[0]
+    if len(kept) == 0:
+        kept = np.array([0])
+    pad = rng.choice(kept, len(pc) - len(kept), replace=True)
+    return np.concatenate([pc[kept], pc[pad]], 0)
+
+
+def corrupt_add_global(pc, level, rng):
+    n_add = [10, 20, 30, 40, 50][level] * 2
+    extra = rng.uniform(-1, 1, (n_add, 3)).astype(np.float32)
+    out = np.concatenate([pc, extra], 0)
+    sel = rng.permutation(len(out))[:len(pc)]
+    return out[sel]
+
+
+def corrupt_add_local(pc, level, rng):
+    n_add = [100, 200, 300, 400, 500][level]
+    centers = pc[rng.choice(len(pc), max(n_add // 50, 1), replace=False)]
+    blobs = []
+    for c in centers:
+        blobs.append(c + rng.standard_normal(
+            (n_add // len(centers) + 1, 3)).astype(np.float32) * 0.05)
+    extra = np.concatenate(blobs, 0)[:n_add]
+    out = np.concatenate([pc, extra], 0)
+    sel = rng.permutation(len(out))[:len(pc)]
+    return out[sel]
+
+
+CORRUPT_FNS = {
+    "scale": corrupt_scale,
+    "jitter": corrupt_jitter,
+    "rotate": corrupt_rotate,
+    "dropout_global": corrupt_dropout_global,
+    "dropout_local": corrupt_dropout_local,
+    "add_global": corrupt_add_global,
+    "add_local": corrupt_add_local,
+}
+
+
+def write_h5(path, data, label):
+    import h5py
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+        f.create_dataset("label", data=label)
+    print("wrote", path, data.shape)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data")
+    ap.add_argument("--train", type=int, default=512)
+    ap.add_argument("--test", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    train_pts, train_y = make_split(rng, args.train)
+    test_pts, test_y = make_split(np.random.default_rng(args.seed + 1),
+                                  args.test)
+
+    main_split = os.path.join(args.root, "ScanObjectNN/h5_files/main_split")
+    write_h5(os.path.join(
+        main_split, "training_objectdataset_augmentedrot_scale75.h5"),
+        train_pts, train_y)
+    write_h5(os.path.join(
+        main_split, "test_objectdataset_augmentedrot_scale75.h5"),
+        test_pts, test_y)
+
+    cdir = os.path.join(args.root, "ScanObjectNN_C/scanobjectnn_c")
+    write_h5(os.path.join(cdir, "clean.h5"), test_pts, test_y)
+    for name, fn in CORRUPT_FNS.items():
+        for level in range(5):
+            crng = np.random.default_rng((args.seed, hash(name) % 2 ** 31,
+                                          level))
+            out = np.stack([fn(p, level, crng) for p in test_pts])
+            write_h5(os.path.join(cdir, f"{name}_{level}.h5"),
+                     out.astype(np.float32), test_y)
+
+
+if __name__ == "__main__":
+    main()
