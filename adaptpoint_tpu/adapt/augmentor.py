@@ -230,7 +230,11 @@ class SAComponent(nn.Module):
             # all four stages otherwise stay live for the backward (~9GB at
             # B=128 N=2048 -> HBM OOM); regathering in the bwd is cheap MXU
             # work. Small shapes skip it (recompute costs ~30% step time).
-            big = x.shape[0] * x.shape[1] >= 128 * 1024
+            # ADAPTPOINT_TPU_REMAT_THRESHOLD tunes the B*N cutoff.
+            import os as _os
+            thresh = int(_os.environ.get("ADAPTPOINT_TPU_REMAT_THRESHOLD",
+                                         128 * 1024))
+            big = x.shape[0] * x.shape[1] >= thresh
             cls_grouper = (nn.remat(PointsetGrouper, static_argnums=(3,))
                            if big else PointsetGrouper)
             grouper = cls_grouper(out_ch, self.reducers[i],

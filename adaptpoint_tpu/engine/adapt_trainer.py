@@ -108,10 +108,18 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
                 mutable=["batch_stats"])
             g_loss_raw = _bce(d_prob, jnp.full_like(d_prob, 0.9))
 
+            # one batched eval forward over [fake || real]: eval-mode BN uses
+            # running stats, so this is bit-identical to two separate calls
+            # while halving kernel launches (B=32 underutilizes the chip)
             fake_x = jnp.concatenate([gen, points[..., 3:in_channels]], -1)
-            logits_fake = cls_forward(cls_state, gen, fake_x)
-            logits_real = cls_forward(cls_state, input_pc,
-                                      points[..., :in_channels])
+            real_pc = jax.lax.stop_gradient(input_pc)
+            real_x = jax.lax.stop_gradient(points[..., :in_channels])
+            logits = cls_forward(
+                cls_state,
+                jnp.concatenate([gen, real_pc], 0),
+                jnp.concatenate([fake_x, real_x], 0))
+            b = gen.shape[0]
+            logits_fake, logits_real = logits[:b], logits[b:]
             loss_fake = criterion(logits_fake, label)
             loss_real = criterion(logits_real, label)
             fb = feedback_loss(loss_fake, loss_real, hardratio)

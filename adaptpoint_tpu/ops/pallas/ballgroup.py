@@ -74,6 +74,21 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     return g
 
 
+def bwd_splits() -> int:
+    """Gradient-scatter precision for the backward one-hot matmuls.
+
+    The default 2 reconstructs ~19 mantissa bits of the incoming gradient
+    (relative rounding ~1e-5 — below the CUDA reference's own
+    order-dependent atomicAdd noise, group_points_gpu.cu grad kernels);
+    3 is the bit-faithful golden mode used by the parity checks. Forward
+    VALUES are unaffected (gather_splits governs those)."""
+    import os
+    v = int(os.environ.get("ADAPTPOINT_TPU_BWD_SPLITS", "2"))
+    if v not in (1, 2, 3):
+        raise ValueError(f"ADAPTPOINT_TPU_BWD_SPLITS must be 1|2|3, got {v}")
+    return v
+
+
 def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
                 nsample: int, n_real: int, w: int, relative: bool,
                 normalize_dp: bool, splits: int = 3, g_batch: int = 8):
@@ -217,7 +232,8 @@ def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
 
 def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
                 g_fx_ref, *, radius: float, nsample: int,
-                relative: bool, normalize_dp: bool, g_batch: int = 8):
+                relative: bool, normalize_dp: bool, g_batch: int = 8,
+                splits: int = 2):
     # grid (B, M//TM): out block is per-b, revisited across t (accumulate).
     # idx (1,TM,K) i32; qidx (1,TM,1) i32; g_new (1,TM,3); g_fi (1,TM,C);
     # g_dpfj (1,K,TM,3+C) packed; out: g_fx (1,N,3+C) packed
@@ -256,15 +272,14 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
         gcat = jnp.concatenate(
             [g_dpfj_ref[0, pl.ds(k0 + gi, 1), :, :][0] for gi in range(G)],
             axis=0) * scale_row  # (G*TM, w)
-        # scatter-add: (N, G*TM) @ (G*TM, w) via lhs-contraction on dim 0
+        # scatter-add: (N, G*TM) @ (G*TM, w) via lhs-contraction on dim 0;
+        # gradient split count per bwd_splits() (2 = ~19 mantissa bits)
         hi, mid, lo = _split3(gcat)
+        parts = (hi, mid, lo)[:splits]
         dn = (((0,), (0,)), ((), ()))
-        acc += lax.dot_general(oh, hi, dn,
-                               preferred_element_type=jnp.float32)
-        acc += lax.dot_general(oh, mid, dn,
-                               preferred_element_type=jnp.float32)
-        acc += lax.dot_general(oh, lo, dn,
-                               preferred_element_type=jnp.float32)
+        for part in parts:
+            acc += lax.dot_general(oh, part, dn,
+                                   preferred_element_type=jnp.float32)
         if relative:
             for gi in range(G):
                 gdp_sum = gdp_sum + gcat[gi * tm:(gi + 1) * tm, :3]
@@ -418,7 +433,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
 
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
-        normalize_dp=normalize_dp, g_batch=g_batch)
+        normalize_dp=normalize_dp, g_batch=g_batch, splits=bwd_splits())
     g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),
