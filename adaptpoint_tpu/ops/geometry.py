@@ -136,6 +136,29 @@ def ball_query_xla(radius: float, nsample: int, xyz: jnp.ndarray,
     return out
 
 
+@partial(jax.jit, static_argnums=1)
+def _iter_min_k(d2: jnp.ndarray, k: int):
+    """Exact smallest-k by k sequential (min, argmin, mask) passes.
+
+    11x faster than lax.top_k on TPU for small k (top_k lowers to a
+    full sort: 20.7 vs 1.8 ms for k=3 at (32,2048,1024)); tie-breaking =
+    first index, identical to stable top_k and the CUDA 3-NN scan."""
+    cur = d2
+    lane = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    ds, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=-1)
+        ds.append(jnp.min(cur, axis=-1))
+        idxs.append(i)
+        cur = jnp.where(lane == i[..., None], jnp.inf, cur)
+    return jnp.stack(ds, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
+
+
+# crossover (measured, scripts note in ops/pallas): iterative wins up to
+# ~k=24 (14.6 vs 20.6 ms) but top_k amortizes for very large k
+_ITER_K_MAX = 24
+
+
 @partial(jax.jit, static_argnums=0)
 def knn_point(nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
     """k-nearest neighbors of new_xyz (B,M,C) among xyz (B,N,C).
@@ -146,8 +169,11 @@ def knn_point(nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray):
     N = xyz.shape[1]
     k_eff = min(nsample, N)
     d2 = square_distance(new_xyz, xyz)
-    neg, idx = lax.top_k(-d2, k_eff)
-    d2k, idx = -neg, idx.astype(jnp.int32)
+    if k_eff <= _ITER_K_MAX:
+        d2k, idx = _iter_min_k(d2, k_eff)
+    else:
+        neg, idx = lax.top_k(-d2, k_eff)
+        d2k, idx = -neg, idx.astype(jnp.int32)
     if k_eff < nsample:  # tiny clouds: repeat the nearest neighbor
         reps = nsample - k_eff
         idx = jnp.concatenate(
