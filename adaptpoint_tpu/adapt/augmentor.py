@@ -226,15 +226,18 @@ class SAComponent(nn.Module):
         for i, exp in enumerate(self.dim_expansion):
             out_ch = last * exp
             feat = ConvBNReLU(out_ch, bias=False, name=f"pre{i}")(feat, training)
-            # remat for big shapes: the grouped (B,K,M,3+C) activations of
-            # all four stages otherwise stay live for the backward (~9GB at
-            # B=128 N=2048 -> HBM OOM); regathering in the bwd is cheap MXU
-            # work. Small shapes skip it (recompute costs ~30% step time).
-            # ADAPTPOINT_TPU_REMAT_THRESHOLD tunes the B*N cutoff.
+            # SELECTIVE remat: keeping all four grouped (B,K,M,3+C)
+            # activations live for the backward OOMs at B=128 N=2048
+            # (16.89G needed vs 15.75G hbm, measured), but deeper stages
+            # are affordable — remat only stages whose *stage-input* B*N_i
+            # meets the threshold. Default 132k: at B=128 N=2048 only
+            # stage0 remats (754 ms gan_step vs 783 with stages 0-1 and
+            # OOM with none); at the B=32 protocol nothing remats.
+            # ADAPTPOINT_TPU_REMAT_THRESHOLD tunes the cutoff.
             import os as _os
             thresh = int(_os.environ.get("ADAPTPOINT_TPU_REMAT_THRESHOLD",
-                                         128 * 1024))
-            big = x.shape[0] * x.shape[1] >= thresh
+                                         132 * 1024))
+            big = x.shape[0] * xyz.shape[1] >= thresh
             cls_grouper = (nn.remat(PointsetGrouper, static_argnums=(3,))
                            if big else PointsetGrouper)
             grouper = cls_grouper(out_ch, self.reducers[i],
