@@ -19,7 +19,7 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock, create_act, torch_linear_init
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import (ball_group, furthest_point_sample, index_points,
+from ...ops import (ball_group, eval_group_dtype, furthest_point_sample, index_points,
                     three_interpolation)
 
 
@@ -83,7 +83,8 @@ class LocalAggregation(nn.Module):
                 float(group_args.get("radius", 0.1)),
                 int(group_args.get("nsample", 16)), p, qidx, f,
                 relative=group_args.get("relative_xyz", True),
-                normalize_dp=group_args.get("normalize_dp", False))
+                normalize_dp=group_args.get("normalize_dp", False),
+                out_dtype=eval_group_dtype(training))
             x = _aggregation_features_kfirst(p, dpfj, fi, self.feature_type)
             pool_axis = 1
         else:
@@ -148,7 +149,8 @@ class SetAbstraction(nn.Module):
                 float(group_args.get("radius", 0.1)),
                 int(group_args.get("nsample", 16)), p, idx, f,
                 relative=group_args.get("relative_xyz", True),
-                normalize_dp=group_args.get("normalize_dp", False))
+                normalize_dp=group_args.get("normalize_dp", False),
+                out_dtype=eval_group_dtype(training))
             x = _aggregation_features_kfirst(new_p, dpfj, fi,
                                              self.feature_type)
             pool_axis = 1

@@ -129,8 +129,20 @@ def fps(data, number: int):
     return gather_rows(data, idx)
 
 
+def eval_group_dtype(training: bool):
+    """dpfj storage dtype for grouped neighborhoods: in EVAL mode bf16
+    (default) halves the dominant HBM write of an SA stage — the lane-padded
+    (B,K,M,128+) tensor — at activation-grade rounding (selection, centers
+    and all training-path values stay f32). ``ADAPTPOINT_TPU_EVAL_DPFJ=f32``
+    restores the bit-exact eval path."""
+    if training:
+        return None
+    mode = os.environ.get("ADAPTPOINT_TPU_EVAL_DPFJ", "bf16").lower()
+    return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
+
+
 def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
-                    relative=True, normalize_dp=False):
+                    relative=True, normalize_dp=False, out_dtype=None):
     """XLA composite with the fused-kernel signature (CPU/test fallback)."""
     import jax.numpy as jnp
     new_xyz = index_points(xyz, query_idx)
@@ -143,17 +155,22 @@ def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
             dp = dp / radius
     fj = index_points(feats, idx)
     dpfj = jnp.concatenate([dp, fj], axis=-1)
+    if out_dtype is not None:
+        dpfj = dpfj.astype(out_dtype)
     return new_xyz, fi, jnp.transpose(dpfj, (0, 2, 1, 3)), idx
 
 
 def ball_group(radius, nsample, xyz, query_idx, feats,
-               relative=True, normalize_dp=False):
+               relative=True, normalize_dp=False, out_dtype=None):
     """Fused center-gather + ball query + neighborhood grouping.
 
     Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) fused [dp || fj],
     idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
-    bit-identical outputs.
+    bit-identical outputs. ``out_dtype=bf16`` halves the dpfj HBM write
+    (eval/inference paths; see ball_group_pallas).
     """
+    import jax.numpy as jnp
+    odt = out_dtype or jnp.float32
     # pallas tiles need M divisible by 8 (qidx sublane constraint); tiny
     # problems (B*M*K*N < 16M one-hot elements) go to XLA — measured
     # crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA composite
@@ -163,12 +180,12 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
         def _pallas(xyz, query_idx, feats):
             return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
-                                     relative, normalize_dp)
+                                     relative, normalize_dp, odt)
 
         def _xla(xyz, query_idx, feats):
             return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
-                                   relative, normalize_dp)
+                                   relative, normalize_dp, odt)
 
         return _dispatch(_pallas, _xla, xyz, query_idx, feats)
     return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
-                           relative, normalize_dp)
+                           relative, normalize_dp, odt)

@@ -215,14 +215,15 @@ def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
         rs = lax.dot_general(ohb, lane_2, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (G*TM,2)
         sel_f = rs[:, 0:1] + rs[:, 1:2]  # exact
+        odt = dpfj_ref.dtype
         if relative:
             for gi in range(G):
                 gg = (g[gi * tm:(gi + 1) * tm] - q_wide) * scale_row
-                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = gg[None]
+                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = gg[None].astype(odt)
         else:
             for gi in range(G):
                 dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = \
-                    g[gi * tm:(gi + 1) * tm][None]
+                    g[gi * tm:(gi + 1) * tm][None].astype(odt)
         sel_i = sel_f.astype(jnp.int32)
         for gi in range(G):
             idxacc = jnp.where(kidx == k0 + gi,
@@ -324,24 +325,29 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
     return 1, 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7))
 def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
                       query_idx: jnp.ndarray, feats: jnp.ndarray,
-                      relative: bool = True, normalize_dp: bool = False):
+                      relative: bool = True, normalize_dp: bool = False,
+                      out_dtype=jnp.float32):
     """Fused FPS-gather + ball query + neighborhood grouping.
 
     xyz (B,N,3) f32; query_idx (B,M) int32 (support-point indices of the
     query centers); feats (B,N,C) f32.
     Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) packed [dp||fj],
     idx (B,M,K) i32) — dpfj carries the neighbor axis at dim 1 (pool there).
+
+    ``out_dtype`` sets the dpfj storage dtype: bf16 halves the dominant
+    HBM write (a lane-padded (B,K,M,128+) tensor) for eval/inference paths;
+    selection and new_xyz/fi stay exact f32.
     """
     out, _ = _ball_group_fwd(radius, nsample, xyz, query_idx, feats,
-                             relative, normalize_dp)
+                             relative, normalize_dp, out_dtype)
     return out
 
 
 def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
-                     normalize_dp):
+                     normalize_dp, out_dtype=jnp.float32):
     B, N, _ = xyz.shape
     M = query_idx.shape[1]
     C = feats.shape[-1]
@@ -405,7 +411,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
         out_shape=(
             jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, M, C + 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, M, C + 3), out_dtype),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
     )(*args)
@@ -413,17 +419,19 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
 
 
 def _ball_group_fwd(radius, nsample, xyz, query_idx, feats, relative,
-                    normalize_dp):
+                    normalize_dp, out_dtype=jnp.float32):
     out = _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
-                           normalize_dp)
+                           normalize_dp, out_dtype)
     new_xyz, fi, dpfj, idx = out
     res = (xyz.shape, feats.shape[-1], query_idx, idx)
     return out, res
 
 
-def _ball_group_bwd(radius, nsample, relative, normalize_dp, res, grads):
+def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
+                    res, grads):
     (b, n, _), c, query_idx, idx = res
     g_new, g_fi, g_dpfj, _ = grads
+    g_dpfj = g_dpfj.astype(jnp.float32)
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)

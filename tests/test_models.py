@@ -108,3 +108,36 @@ def test_pointnext_with_depth_blocks(rng_np):
     ps, fs = enc.apply(v, pos, x, training=False, method="forward_seg_feat")
     assert [p.shape[1] for p in ps] == [128, 128, 64, 32]
     assert [f.shape[-1] for f in fs[1:]] == [16, 32, 64]
+
+
+def test_eval_bf16_dpfj_matches_f32_argmax(rng_np, monkeypatch):
+    """Eval-mode bf16 dpfj storage (ADAPTPOINT_TPU_EVAL_DPFJ) must not flip
+    predictions vs the bit-exact f32 path on a trained-scale model."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from adaptpoint_tpu.models import build_model_from_cfg
+
+    model = build_model_from_cfg({
+        "NAME": "BaseCls",
+        "encoder_args": {
+            "NAME": "PointNextEncoder", "blocks": [1, 1, 1, 1],
+            "strides": [1, 2, 2, 1], "width": 16, "in_channels": 4,
+            "sa_layers": 2, "sa_use_res": True, "radius": 0.15,
+            "radius_scaling": 1.5, "nsample": 8,
+            "aggr_args": {"feature_type": "dp_fj", "reduction": "max"},
+            "group_args": {"NAME": "ballquery", "normalize_dp": True},
+            "norm_args": {"norm": "bn"}},
+        "cls_args": {"NAME": "ClsHead", "num_classes": 5, "mlps": [32],
+                     "norm_args": {"norm": "bn1d"}}})
+    pos = jnp.asarray(rng_np.standard_normal((4, 128, 3)), jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1)
+    v = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+
+    monkeypatch.setenv("ADAPTPOINT_TPU_EVAL_DPFJ", "f32")
+    exact = model.apply(v, pos, x, training=False)
+    monkeypatch.setenv("ADAPTPOINT_TPU_EVAL_DPFJ", "bf16")
+    fast = model.apply(v, pos, x, training=False)
+    assert (jnp.argmax(exact, -1) == jnp.argmax(fast, -1)).all()
+    # logits agree to activation-grade rounding
+    assert float(jnp.max(jnp.abs(exact - fast))) < 0.15
