@@ -72,6 +72,50 @@ def furthest_point_sample(xyz, npoint: int):
 ball_query = ball_query_xla
 three_nn = three_nn_xla
 
+_knn_point_xla = knn_point
+
+
+def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
+    """kNN dispatch: for k > 8 on TPU the Pallas kernel keeps the (TM,N)
+    distance tile VMEM-resident across all k min-extraction passes (the XLA
+    iterative path pays k full HBM passes over (B,M,N) — ~10-20 GB at DGCNN
+    shapes). Small k stays on the differentiable XLA path (three_nn needs
+    d2 gradients for interpolation weights); the Pallas branch treats
+    positions as constants for AD (its big-k callers — EdgeConv, patch
+    embeds, ProduceFactor — consume only idx, and neighbor INDICES carry no
+    gradient in the reference either)."""
+    k_eff = min(nsample, xyz.shape[1])
+    # size guard (measured): pallas wins 3.3-5.5x at B=128 M=N=1024 K=20
+    # and B=32 M=2048 K=24, loses at B=8 M=N=256 (0.84 vs 0.19 ms)
+    work = xyz.shape[0] * new_xyz.shape[1] * xyz.shape[1] * k_eff
+    if (k_eff > 8 and xyz.ndim == 3 and new_xyz.shape[1] % 8 == 0
+            and work >= 64 * 1024 * 1024 and _kernel_mode() != "xla"):
+        from .pallas.knn import knn_pallas, knn_fits
+        if knn_fits(xyz.shape[1], xyz.shape[2], k_eff):
+            def _pallas(xyz, new_xyz):
+                d2, idx = knn_pallas(k_eff, jax.lax.stop_gradient(xyz),
+                                     jax.lax.stop_gradient(new_xyz))
+                return _pad_knn(d2, idx, nsample)
+
+            def _xla(xyz, new_xyz):
+                return _knn_point_xla(nsample, xyz, new_xyz)
+
+            return _dispatch(_pallas, _xla, xyz, new_xyz)
+    return _knn_point_xla(nsample, xyz, new_xyz)
+
+
+def _pad_knn(d2k, idx, nsample):
+    """Tiny-cloud repeat-nearest padding (parity with geometry.knn_point)."""
+    k_eff = idx.shape[-1]
+    if k_eff >= nsample:
+        return d2k, idx
+    reps = nsample - k_eff
+    idx = jnp.concatenate(
+        [idx, jnp.broadcast_to(idx[..., :1], idx.shape[:-1] + (reps,))], -1)
+    d2k = jnp.concatenate(
+        [d2k, jnp.broadcast_to(d2k[..., :1], d2k.shape[:-1] + (reps,))], -1)
+    return d2k, idx
+
 
 def gather_rows(points, idx):
     """Exact (B,M,C) row gather of (B,N,C) by (B,M) — Pallas one-hot matmul
