@@ -27,14 +27,27 @@ def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
-    """device_put each batch array sharded on axis 0 ('n_valid' replicated)."""
+    """device_put each batch array sharded on axis 0 (scalars replicated).
+
+    Raises if the batch axis is not divisible by the mesh size: silently
+    replicating would run the full batch redundantly on every device (8x
+    the compute at 1/8 the throughput on an 8-chip mesh) with no warning.
+    Configure ``batch_size`` as a multiple of the device count instead —
+    the data loaders pad ragged final batches to full size already.
+    """
     sharding = batch_sharding(mesh, axis_name)
     rep = NamedSharding(mesh, P())
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.ndim == 0 or arr.shape[0] % mesh.size != 0:
+        if arr.ndim == 0:
             out[k] = jax.device_put(arr, rep)
+        elif arr.shape[0] % mesh.size != 0:
+            raise ValueError(
+                f"shard_batch: batch axis of '{k}' ({arr.shape[0]}) is not "
+                f"divisible by the mesh size ({mesh.size}); set batch_size "
+                f"to a multiple of the device count (loaders pad ragged "
+                f"final batches to full size)")
         else:
             out[k] = jax.device_put(arr, sharding)
     return out
