@@ -54,11 +54,15 @@ class NumpyLoader:
             idxs = np.concatenate([idxs, pad])
         return idxs, n_valid
 
-    def _make_batch(self, order, b) -> Dict[str, np.ndarray]:
+    def _make_batch(self, order, b, epoch) -> Dict[str, np.ndarray]:
+        # epoch is captured at __iter__ time (not read from self) so prefetch
+        # futures still in flight when set_epoch() is called — or workers left
+        # running by an abandoned iterator — keep the RNG stream of the epoch
+        # they were submitted for, preserving bit-identity with inline mode.
         idxs, n_valid = self._batch_indices(order, b)
         samples = []
         for i in idxs:
-            sample_rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            sample_rng = np.random.default_rng((self.seed, epoch, int(i)))
             samples.append(self.dataset.get(int(i), sample_rng))
         batch = self._collate(samples)
         batch["n_valid"] = np.asarray(n_valid, np.int32)
@@ -66,13 +70,14 @@ class NumpyLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
-        rng = np.random.default_rng((self.seed, self.epoch))
+        epoch = self.epoch
+        rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         nb = len(self)
 
         if self.num_workers <= 0:
             for b in range(nb):
-                yield self._make_batch(order, b)
+                yield self._make_batch(order, b, epoch)
             return
 
         # multi-worker path (parity: DataLoader num_workers,
@@ -87,13 +92,14 @@ class NumpyLoader:
         try:
             depth = max(2, self.num_workers)  # batches in flight (prefetch)
             pending = collections.deque(
-                ex.submit(self._make_batch, order, b)
+                ex.submit(self._make_batch, order, b, epoch)
                 for b in range(min(depth, nb)))
             next_b = len(pending)
             while pending:
                 batch = pending.popleft().result()
                 if next_b < nb:
-                    pending.append(ex.submit(self._make_batch, order, next_b))
+                    pending.append(
+                        ex.submit(self._make_batch, order, next_b, epoch))
                     next_b += 1
                 yield batch
         finally:

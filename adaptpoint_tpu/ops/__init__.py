@@ -80,10 +80,16 @@ def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
     distance tile VMEM-resident across all k min-extraction passes (the XLA
     iterative path pays k full HBM passes over (B,M,N) — ~10-20 GB at DGCNN
     shapes). Small k stays on the differentiable XLA path (three_nn needs
-    d2 gradients for interpolation weights); the Pallas branch treats
-    positions as constants for AD (its big-k callers — EdgeConv, patch
-    embeds, ProduceFactor — consume only idx, and neighbor INDICES carry no
-    gradient in the reference either)."""
+    d2 gradients for interpolation weights).
+
+    Differentiability parity: only ``idx`` comes from the Pallas kernel
+    (indices carry no gradient, matching the reference); the returned ``d2``
+    is RECOMPUTED from the live coordinates via a differentiable gather in
+    the same ||a||^2+||b||^2-2ab form as ``square_distance``, so callers
+    that feed d2-derived features into the loss (e.g. RandLA-Net relative
+    encodings) get the same cotangents on every platform and shape. Callers
+    that only consume idx pay nothing — XLA dead-code-eliminates the
+    recompute."""
     k_eff = min(nsample, xyz.shape[1])
     # size guard (measured): pallas wins 3.3-5.5x at B=128 M=N=1024 K=20
     # and B=32 M=2048 K=24, loses at B=8 M=N=256 (0.84 vs 0.19 ms)
@@ -93,9 +99,24 @@ def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
         from .pallas.knn import knn_pallas, knn_fits
         if knn_fits(xyz.shape[1], xyz.shape[2], k_eff):
             def _pallas(xyz, new_xyz):
-                d2, idx = knn_pallas(k_eff, jax.lax.stop_gradient(xyz),
-                                     jax.lax.stop_gradient(new_xyz))
-                return _pad_knn(d2, idx, nsample)
+                _, idx = knn_pallas(k_eff, jax.lax.stop_gradient(xyz),
+                                    jax.lax.stop_gradient(new_xyz))
+                if k_eff < nsample:
+                    reps = nsample - k_eff
+                    idx = jnp.concatenate(
+                        [idx, jnp.broadcast_to(idx[..., :1],
+                                               idx.shape[:-1] + (reps,))], -1)
+                # differentiable d2 from live coords through the frozen idx
+                nbr = _index_points_xla(xyz, idx)  # (B,M,K,C)
+                cross = jnp.einsum(
+                    "bmc,bmkc->bmk", new_xyz, nbr,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                d2 = (jnp.sum(new_xyz.astype(jnp.float32) ** 2,
+                              -1)[..., None]
+                      + jnp.sum(nbr.astype(jnp.float32) ** 2, -1)
+                      - 2.0 * cross)
+                return d2, idx
 
             def _xla(xyz, new_xyz):
                 return _knn_point_xla(nsample, xyz, new_xyz)
@@ -174,14 +195,17 @@ def fps(data, number: int):
 
 
 def eval_group_dtype(training: bool):
-    """dpfj storage dtype for grouped neighborhoods: in EVAL mode bf16
-    (default) halves the dominant HBM write of an SA stage — the lane-padded
-    (B,K,M,128+) tensor — at activation-grade rounding (selection, centers
-    and all training-path values stay f32). ``ADAPTPOINT_TPU_EVAL_DPFJ=f32``
-    restores the bit-exact eval path."""
+    """dpfj storage dtype for grouped neighborhoods in EVAL mode.
+
+    ``ADAPTPOINT_TPU_EVAL_DPFJ=bf16`` halves the dominant HBM write of an
+    SA stage — the lane-padded (B,K,M,128+) tensor — at activation-grade
+    rounding (selection, centers and all training-path values stay f32);
+    argmax-parity tested, worth ~1.9x eval throughput on TPU. The DEFAULT
+    is f32 so eval accuracy and reference-parity comparisons are bit-exact
+    unless the fast mode is explicitly requested (bench.py requests it)."""
     if training:
         return None
-    mode = os.environ.get("ADAPTPOINT_TPU_EVAL_DPFJ", "bf16").lower()
+    mode = os.environ.get("ADAPTPOINT_TPU_EVAL_DPFJ", "f32").lower()
     return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
 
 

@@ -58,7 +58,12 @@ def gather_splits() -> int:
     dp/fj/fi values round. The default moved 2 -> 3 in round 2: with the
     rank-based k-parallel selection the gather matmuls are no longer the
     bottleneck, so exactness is nearly free (9.37 vs 9.21 ms at
-    B=128 N=1024 M=512 C=32)."""
+    B=128 N=1024 M=512 C=32).
+
+    NOTE the fwd/bwd default asymmetry: forward values default to the exact
+    3-split mode, but the backward scatter defaults to bwd_splits()=2 —
+    golden-gradient comparisons must pin ADAPTPOINT_TPU_BWD_SPLITS=3 (the
+    parity scripts do)."""
     import os
     v = int(os.environ.get("ADAPTPOINT_TPU_GATHER_SPLITS", "3"))
     if v not in (1, 2, 3):

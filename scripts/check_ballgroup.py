@@ -6,6 +6,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Golden mode: the training DEFAULT is bwd_splits=2 (~19 mantissa bits on the
+# gradient scatter); pin the bit-faithful 3-split mode for the parity check so
+# grad maxerr below is a true exactness claim, not a rounding comparison.
+os.environ.setdefault("ADAPTPOINT_TPU_BWD_SPLITS", "3")
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
