@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from .build import ADAPTMODELS
 from .common import pointwolf_transform
-from ..models.layers.blocks import torch_linear_init
+from ..models.layers.blocks import compute_dtype, torch_linear_init
 from ..ops import (ball_group, ball_query, furthest_point_sample,
                    index_points, knn_point, three_interpolation)
 
@@ -57,10 +57,11 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Dense(self.channels, use_bias=self.bias,
+        dt = compute_dtype()
+        x = nn.Dense(self.channels, use_bias=self.bias, dtype=dt,
                      kernel_init=torch_linear_init)(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=dt)(x)
         return nn.relu(x) if self.act else x
 
 
@@ -78,10 +79,20 @@ class PointsetGrouper(nn.Module):
         # xyz (B,N,3), points (B,N,C) -> new_xyz (B,N/r,3), new (B,N/r,C)
         npoint = xyz.shape[1] // self.reduce
         fps_idx = furthest_point_sample(xyz, npoint)
-        # fused kernel: centers + center feats + grouped feats in one pass
+        # fused kernel: centers + center feats + grouped feats in one pass.
+        # splits=1/grad_splits=1: bf16 value gathers and gradient scatters
+        # (1/3 resp. 1/2 of the MXU work) — ball SELECTION and indices stay
+        # exact f32; the controller's grouped features feed a max-pool +
+        # learned affine whose whole job is to produce augmentation logits,
+        # so activation-grade rounding is immaterial (its attention already
+        # runs bf16). ADAPTPOINT_TPU_CONTROLLER_EXACT=1 restores the exact
+        # path for golden comparisons.
+        import os as _os
+        exact = _os.environ.get("ADAPTPOINT_TPU_CONTROLLER_EXACT", "0") == "1"
         new_xyz, new_points, dpfj, _ = ball_group(
             self.radius, self.kneighbors, xyz, fps_idx, points,
-            relative=False)
+            relative=False, splits=None if exact else 1,
+            grad_splits=None if exact else 1)
         grouped = dpfj[..., 3:]  # (B,K,np,C) neighbor-first
 
         alpha = self.param("affine_alpha", nn.initializers.ones,
@@ -103,14 +114,15 @@ class AnchorSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, xyz, training: bool = False):
         b, m, c = x.shape
+        dt = compute_dtype()
         head_dim = self.dim // self.head_num
         center = jnp.mean(xyz, axis=1, keepdims=True)
         rel = xyz - center
-        pe = nn.Dense(self.dim, kernel_init=torch_linear_init,
+        pe = nn.Dense(self.dim, kernel_init=torch_linear_init, dtype=dt,
                       name="pos_embedding")(rel)
         pe = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                          epsilon=1e-5, name="pos_bn")(pe)
-        qkv = nn.Dense(self.dim * 3, use_bias=False,
+                          epsilon=1e-5, dtype=dt, name="pos_bn")(pe)
+        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=dt,
                        kernel_init=torch_linear_init, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = q + pe, k + pe, v + pe
@@ -153,9 +165,10 @@ class AnchorSelfAttention(nn.Module):
             out = jnp.moveaxis(out, 0, 2).reshape(b, self.head_num, m,
                                                   head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(b, m, self.dim)
-        out = nn.Dense(self.dim, kernel_init=torch_linear_init, name="res")(out)
+        out = nn.Dense(self.dim, kernel_init=torch_linear_init, dtype=dt,
+                       name="res")(out)
         out = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                           epsilon=1e-5, name="res_bn")(out)
+                           epsilon=1e-5, dtype=dt, name="res_bn")(out)
         return out
 
 
@@ -188,17 +201,20 @@ class ProduceFactor(nn.Module):
         local = local + AnchorSelfAttention(self.out_channels, 4,
                                             name="anchor_attn")(
             local, a_points, training)
-        glob = nn.Dense(self.out_channels, use_bias=False,
+        dt = compute_dtype()
+        glob = nn.Dense(self.out_channels, use_bias=False, dtype=dt,
                         kernel_init=torch_linear_init, name="global_conv")(a_points)
         glob = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                            epsilon=1e-5, name="global_bn")(glob)
+                            epsilon=1e-5, dtype=dt, name="global_bn")(glob)
         glob = jnp.max(glob, axis=1, keepdims=True)  # (B,1,C)
+        glob = glob.astype(local.dtype) if local.dtype != glob.dtype else glob
         feat = jnp.concatenate([local, jnp.broadcast_to(glob, local.shape)], -1)
-        prob = nn.Dense(9, use_bias=False, kernel_init=torch_linear_init,
-                        name="prob_head")(feat)
+        prob = nn.Dense(9, use_bias=False, dtype=dt,
+                        kernel_init=torch_linear_init, name="prob_head")(feat)
         prob = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                            epsilon=1e-5, name="prob_bn")(prob)
-        return prob
+                            epsilon=1e-5, dtype=dt, name="prob_bn")(prob)
+        # transform math (rotations/scales in pointwolf) must be f32
+        return prob.astype(jnp.float32)
 
 
 class SAComponent(nn.Module):
@@ -263,23 +279,33 @@ class SAComponent(nn.Module):
         # mask controller (generator_component4_15.py:704-714)
         mask_local = AnchorSelfAttention(self.embed_dim, 4, name="mask_attn")(
             x_list[0], xyz_list[0], training)
-        mask_local = mask_local + x_list[0]
-        mask_local = nn.Dense(3, use_bias=False, kernel_init=torch_linear_init,
+        mask_local = mask_local + x_list[0].astype(mask_local.dtype)
+        dt = compute_dtype()
+        mask_local = nn.Dense(3, use_bias=False, dtype=dt,
+                              kernel_init=torch_linear_init,
                               name="mask_local")(mask_local)
         mask_local = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                                  epsilon=1e-5, name="mask_local_bn")(mask_local)
-        mask_global = nn.Dense(3, use_bias=False, kernel_init=torch_linear_init,
+                                  epsilon=1e-5, dtype=dt,
+                                  name="mask_local_bn")(mask_local)
+        mask_global = nn.Dense(3, use_bias=False, dtype=dt,
+                               kernel_init=torch_linear_init,
                                name="mask_global")(x_list[-1])
         mask_global = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                                   epsilon=1e-5, name="mask_global_bn")(mask_global)
+                                   epsilon=1e-5, dtype=dt,
+                                   name="mask_global_bn")(mask_global)
         mask_global = jnp.max(mask_global, axis=1, keepdims=True)  # (B,1,3)
         masking = jnp.concatenate(
             [mask_local, jnp.broadcast_to(mask_global, mask_local.shape)], -1)
-        masking = nn.Dense(2, use_bias=False, kernel_init=torch_linear_init,
+        masking = nn.Dense(2, use_bias=False, dtype=dt,
+                           kernel_init=torch_linear_init,
                            name="mask_fuse")(masking)
         masking = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                               epsilon=1e-5, name="mask_fuse_bn")(masking)
-        masking = gumbel_softmax(rng_gumbel, masking, tau=0.1, hard=True)
+                               epsilon=1e-5, dtype=dt,
+                               name="mask_fuse_bn")(masking)
+        # gumbel sampling at tau=0.1 needs f32 logits (bf16 /0.1 saturates
+        # the softmax into hard 0/1 too early)
+        masking = gumbel_softmax(rng_gumbel, masking.astype(jnp.float32),
+                                 tau=0.1, hard=True)
         return prob, masking
 
 

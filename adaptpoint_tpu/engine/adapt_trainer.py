@@ -77,20 +77,39 @@ def build_gan(cfg, example_cloud, rng):
 
 
 def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
-    """One fused G+D adversarial step (parity: train_autoaug.py:133-226)."""
+    """One fused G+D adversarial step (parity: train_autoaug.py:133-226).
+
+    Precision: the whole adversarial step (controller convs/attention AND the
+    frozen feedback classifier) runs under a bf16 compute policy by default
+    (``cfg.gan_precision: f32`` restores full f32). Params, BN statistics,
+    losses, gumbel sampling, transform math and ball/FPS selection stay f32 —
+    only matmul compute and grouped-activation storage round to bf16, which
+    is activation-grade noise on a GAN guidance signal while roughly halving
+    the dominant MXU/HBM cost of phase A. Phase B (the real classifier
+    update) is a separate trace and keeps exact f32.
+    """
+    from ..utils.precision import dtype_override
+
     criterion = build_criterion_from_cfg(cfg.criterion_args)
     feedback_ratio = float(cfg.get("feedbackloss_ratio", 1))
     in_channels = int(cfg.model.get("in_channels", None)
                       or cfg.model.encoder_args.in_channels)
+    # platform-aware default: bf16 pays off on the MXU; CPU (tests, dryrun)
+    # keeps exact f32 — bf16 there is emulated, slower AND less accurate
+    default_prec = "bf16" if jax.default_backend() == "tpu" else "f32"
+    gan_dtype = ("bfloat16"
+                 if str(cfg.get("gan_precision", default_prec)).lower()
+                 in ("bf16", "bfloat16") else None)
 
     def cls_forward(cls_state, pos, x):
-        # frozen task model, eval mode (ganloss_cls.py:44-47)
-        return cls_model.apply(
+        # frozen task model, eval mode (ganloss_cls.py:44-47); logits back to
+        # f32 so the feedback CE/softmax is computed at full precision
+        logits = cls_model.apply(
             {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
             pos, x, training=False)
+        return logits.astype(jnp.float32)
 
-    @jax.jit
-    def gan_step(state: GanState, cls_state, batch, rng, hardratio):
+    def gan_step_traced(state: GanState, cls_state, batch, rng, hardratio):
         points = batch["x"]  # (B, N, C) channels-last, xyz in [..,:3]
         label = batch["y"]
         input_pc = points[..., :3]
@@ -160,6 +179,11 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
                    "d_loss": d_loss, "feedback": aux["feedback"],
                    "loss_fake": aux["loss_fake"], "loss_real": aux["loss_real"]}
         return new_state, aux["gen"], metrics
+
+    @jax.jit
+    def gan_step(state: GanState, cls_state, batch, rng, hardratio):
+        with dtype_override(gan_dtype):
+            return gan_step_traced(state, cls_state, batch, rng, hardratio)
 
     return gan_step
 

@@ -22,12 +22,14 @@ from flax import linen as nn
 def compute_dtype():
     """Computation dtype policy for pointwise blocks (params stay f32).
 
+    Resolved at trace time: a ``utils.precision.dtype_override`` context
+    takes precedence (lets one jit program mix policies — bf16 controller +
+    feedback classifier, f32 task training), else
     ``ADAPTPOINT_TPU_DTYPE=bfloat16`` runs the MLP/BN stack in bf16 (MXU
     native); default float32.
     """
-    return (jnp.bfloat16
-            if os.environ.get("ADAPTPOINT_TPU_DTYPE", "").lower()
-            in ("bf16", "bfloat16") else jnp.float32)
+    from ...utils.precision import resolve_compute_dtype
+    return resolve_compute_dtype()
 
 __all__ = [
     "create_act", "ConvBlock", "LinearBlock", "CHANNEL_MAP", "torch_linear_init",

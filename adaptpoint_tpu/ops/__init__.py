@@ -205,6 +205,9 @@ def eval_group_dtype(training: bool):
     unless the fast mode is explicitly requested (bench.py requests it)."""
     if training:
         return None
+    from ..utils.precision import _OVERRIDE
+    if _OVERRIDE.get() is not None:
+        return jnp.bfloat16 if _OVERRIDE.get() == jnp.bfloat16 else None
     mode = os.environ.get("ADAPTPOINT_TPU_EVAL_DPFJ", "f32").lower()
     return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
 
@@ -229,16 +232,32 @@ def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
 
 
 def ball_group(radius, nsample, xyz, query_idx, feats,
-               relative=True, normalize_dp=False, out_dtype=None):
+               relative=True, normalize_dp=False, out_dtype=None,
+               splits=None, grad_splits=None):
     """Fused center-gather + ball query + neighborhood grouping.
 
     Returns (new_xyz (B,M,3), fi (B,M,C), dpfj (B,K,M,3+C) fused [dp || fj],
     idx (B,M,K)). Pallas on TPU (ops/pallas/ballgroup.py), XLA elsewhere —
     bit-identical outputs. ``out_dtype=bf16`` halves the dpfj HBM write
-    (eval/inference paths; see ball_group_pallas).
+    (eval/inference paths; see ball_group_pallas). ``splits``/``grad_splits``
+    lower the Pallas value-gather / gradient-scatter precision per call
+    (1 = bf16 values, exact selection) — the XLA fallback stays exact, so
+    only tolerant consumers (the AdaptPoint controller) should set them.
     """
     import jax.numpy as jnp
     odt = out_dtype or jnp.float32
+    # Kernel contract is f32-in: bf16 feats (bf16 compute policy) upcast at
+    # entry — exactly representable, so ONE bf16 split already carries the
+    # full value precision and the 3-split exact mode would be 3x wasted MXU
+    # work. fi is returned in the caller's dtype so both dispatch branches
+    # (and the bf16-policy consumers) agree.
+    in_dt = feats.dtype
+    if in_dt == jnp.bfloat16:
+        feats = feats.astype(jnp.float32)
+        if splits is None:
+            splits = 1
+        if grad_splits is None:
+            grad_splits = 1  # cotangents are bf16-grade under the policy
     # pallas tiles need M divisible by 8 (qidx sublane constraint); tiny
     # problems (B*M*K*N < 16M one-hot elements) go to XLA — measured
     # crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA composite
@@ -248,12 +267,18 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
         def _pallas(xyz, query_idx, feats):
             return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
-                                     relative, normalize_dp, odt)
+                                     relative, normalize_dp, odt,
+                                     splits, grad_splits)
 
         def _xla(xyz, query_idx, feats):
             return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                                    relative, normalize_dp, odt)
 
-        return _dispatch(_pallas, _xla, xyz, query_idx, feats)
-    return _ball_group_xla(radius, nsample, xyz, query_idx, feats,
-                           relative, normalize_dp, odt)
+        out = _dispatch(_pallas, _xla, xyz, query_idx, feats)
+    else:
+        out = _ball_group_xla(radius, nsample, xyz, query_idx, feats,
+                              relative, normalize_dp, odt)
+    if in_dt == jnp.bfloat16:
+        new_xyz, fi, dpfj, idx = out
+        return new_xyz, fi.astype(in_dt), dpfj, idx
+    return out

@@ -330,11 +330,12 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
     return 1, 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7, 8, 9))
 def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
                       query_idx: jnp.ndarray, feats: jnp.ndarray,
                       relative: bool = True, normalize_dp: bool = False,
-                      out_dtype=jnp.float32):
+                      out_dtype=jnp.float32, splits: int = None,
+                      grad_splits: int = None):
     """Fused FPS-gather + ball query + neighborhood grouping.
 
     xyz (B,N,3) f32; query_idx (B,M) int32 (support-point indices of the
@@ -345,21 +346,28 @@ def ball_group_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
     ``out_dtype`` sets the dpfj storage dtype: bf16 halves the dominant
     HBM write (a lane-padded (B,K,M,128+) tensor) for eval/inference paths;
     selection and new_xyz/fi stay exact f32.
+
+    ``splits`` / ``grad_splits`` override the env-default value-gather /
+    gradient-scatter precision per call (1 = bf16, ~1/3 resp. ~1/2 of the
+    MXU gather work; selection and idx stay EXACT in every mode). Callers
+    whose values feed a tolerant consumer — the AdaptPoint controller — use
+    1; the task-model path keeps the exact defaults.
     """
     out, _ = _ball_group_fwd(radius, nsample, xyz, query_idx, feats,
-                             relative, normalize_dp, out_dtype)
+                             relative, normalize_dp, out_dtype, splits,
+                             grad_splits)
     return out
 
 
 def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
-                     normalize_dp, out_dtype=jnp.float32):
+                     normalize_dp, out_dtype=jnp.float32, splits=None):
     B, N, _ = xyz.shape
     M = query_idx.shape[1]
     C = feats.shape[-1]
     K = nsample
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
-    splits = gather_splits()
+    splits = splits or gather_splits()
     fx = jnp.concatenate([xyz, feats], axis=-1)  # (B, N, 3+C)
     # barrier each rounding step: XLA runs with allow_excess_precision and
     # would otherwise fuse the bf16 casts away, breaking the exact 3-split
@@ -424,16 +432,17 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
 
 
 def _ball_group_fwd(radius, nsample, xyz, query_idx, feats, relative,
-                    normalize_dp, out_dtype=jnp.float32):
+                    normalize_dp, out_dtype=jnp.float32, splits=None,
+                    grad_splits=None):
     out = _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
-                           normalize_dp, out_dtype)
+                           normalize_dp, out_dtype, splits)
     new_xyz, fi, dpfj, idx = out
     res = (xyz.shape, feats.shape[-1], query_idx, idx)
     return out, res
 
 
 def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
-                    res, grads):
+                    splits, grad_splits, res, grads):
     (b, n, _), c, query_idx, idx = res
     g_new, g_fi, g_dpfj, _ = grads
     g_dpfj = g_dpfj.astype(jnp.float32)
@@ -446,7 +455,8 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
 
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
-        normalize_dp=normalize_dp, g_batch=g_batch, splits=bwd_splits())
+        normalize_dp=normalize_dp, g_batch=g_batch,
+        splits=grad_splits or bwd_splits())
     g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),
