@@ -381,3 +381,291 @@ class Cutmix:
                 batch["x"][:, -n_mix:] = batch["x"][::-1][:, -n_mix:]
         y = mixup_target(target, self.num_classes, lam, self.label_smoothing)
         return batch, y
+
+
+# --------------------------------------------------------------------------
+# Random* CPU family + remaining GPU-registered transforms (round 3): every
+# transform NAME registered by the reference
+# (point_transform_cpu.py:23-335, point_transformer_gpu.py:19-410) resolves
+# here, so any reference YAML recipe builds unchanged.
+# --------------------------------------------------------------------------
+
+
+@DataTransforms.register_module()
+class RandomRotate:
+    """Per-axis uniform rotation composed as Rz@Ry@Rx
+    (parity: point_transform_cpu.py:23-39; angles in units of pi)."""
+
+    def __init__(self, angle=(0, 0, 1), **kwargs):
+        self.angle = angle
+
+    def __call__(self, data, rng):
+        ax = rng.uniform(-self.angle[0], self.angle[0]) * np.pi
+        ay = rng.uniform(-self.angle[1], self.angle[1]) * np.pi
+        az = rng.uniform(-self.angle[2], self.angle[2]) * np.pi
+        R = (_rot_single_axis(2, az) @ _rot_single_axis(1, ay)
+             @ _rot_single_axis(0, ax))
+        data["pos"] = (data["pos"] @ R.T).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomRotateZ:
+    """Rotation about one axis, angle in units of pi
+    (parity: point_transform_cpu.py:43-66; applied as pos @ R, i.e. the
+    anti-clockwise convention of the reference)."""
+
+    def __init__(self, angle=1.0, rotate_dim=2, random_rotate=True, **kwargs):
+        self.angle = float(angle) * np.pi
+        self.random_rotate = random_rotate
+        self.rotate_dim = int(rotate_dim)
+
+    def __call__(self, data, rng):
+        theta = (rng.uniform(-self.angle, self.angle) if self.random_rotate
+                 else self.angle)
+        R = _rot_single_axis(self.rotate_dim, theta)
+        data["pos"] = (data["pos"] @ R).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomScale:
+    """Random (optionally anisotropic, mirrored) scaling
+    (parity: point_transform_cpu.py:70-96)."""
+
+    def __init__(self, scale=(0.8, 1.2), scale_anisotropic=False,
+                 scale_xyz=(True, True, True), mirror=(-1, -1, -1), **kwargs):
+        self.scale = scale
+        self.scale_xyz = scale_xyz
+        self.anisotropic = scale_anisotropic
+        self.mirror = np.asarray(mirror, np.float32)
+        self.use_mirroring = (self.mirror > 0).sum() != 0
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale[0], self.scale[1],
+                            3 if self.anisotropic else 1)
+        if len(scale) == 1:
+            scale = scale.repeat(3)
+        if self.use_mirroring:
+            m = (rng.random(3) > self.mirror).astype(np.float32) * 2 - 1
+            scale = scale * m
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1.0
+        data["pos"] = (data["pos"] * scale).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomScaleAndJitter:
+    """Scale (+mirror) then clipped gaussian jitter
+    (parity: point_transform_cpu.py:99-129)."""
+
+    def __init__(self, scale=(0.8, 1.2), scale_xyz=(True, True, True),
+                 scale_anisotropic=False, jitter_sigma=0.01, jitter_clip=0.05,
+                 mirror=(-1, -1, -1), **kwargs):
+        self.scale = scale
+        self.scale_xyz = scale_xyz
+        self.anisotropic = scale_anisotropic
+        self.sigma = jitter_sigma
+        self.clip = jitter_clip
+        self.mirror = np.asarray(mirror, np.float32)
+        self.use_mirroring = (self.mirror > 0).sum() != 0
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale[0], self.scale[1],
+                            3 if self.anisotropic else 1)
+        if len(scale) == 1:
+            scale = scale.repeat(3)
+        if self.use_mirroring:
+            m = (rng.random(3) > self.mirror).astype(np.float32) * 2 - 1
+            scale = scale * m
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1.0
+        jitter = np.clip(self.sigma * rng.standard_normal(
+            (data["pos"].shape[0], 3)), -self.clip, self.clip)
+        data["pos"] = (data["pos"] * scale + jitter).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomShift:
+    """Uniform global shift (parity: point_transform_cpu.py:132-143 —
+    the reference reads an undefined ``self.shift_range``; the intended
+    per-axis ranges from ``shift`` are used here)."""
+
+    def __init__(self, shift=(0.2, 0.2, 0), **kwargs):
+        self.shift = np.asarray(shift, np.float32)
+
+    def __call__(self, data, rng):
+        shift = rng.uniform(-self.shift, self.shift, 3)
+        data["pos"] = (data["pos"] + shift).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomScaleAndTranslate:
+    """Scale then uniform shift (parity: point_transform_cpu.py:146-164 —
+    the reference reads undefined ``self.anisotropic``/``self.shift_range``;
+    implemented with per-axis scale ranges and ``shift`` bounds as
+    intended)."""
+
+    def __init__(self, scale=(0.9, 1.1), shift=(0.2, 0.2, 0),
+                 scale_xyz=(1, 1, 1), **kwargs):
+        self.scale = scale
+        self.scale_xyz = np.asarray(scale_xyz, np.float32)
+        self.shift = np.asarray(shift, np.float32)
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale[0], self.scale[1], 3) * self.scale_xyz
+        shift = rng.uniform(-self.shift, self.shift, 3)
+        data["pos"] = (data["pos"] * scale + shift).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class RandomFlip:
+    """Independent x/y sign flips with probability p
+    (parity: point_transform_cpu.py:167-177)."""
+
+    def __init__(self, p=0.5, **kwargs):
+        self.p = p
+
+    def __call__(self, data, rng):
+        if rng.random() < self.p:
+            data["pos"][:, 0] = -data["pos"][:, 0]
+        if rng.random() < self.p:
+            data["pos"][:, 1] = -data["pos"][:, 1]
+        return data
+
+
+@DataTransforms.register_module()
+class RandomJitter:
+    """Clipped gaussian positional jitter
+    (parity: point_transform_cpu.py:180-189)."""
+
+    def __init__(self, jitter_sigma=0.01, jitter_clip=0.05, **kwargs):
+        self.sigma = jitter_sigma
+        self.clip = jitter_clip
+
+    def __call__(self, data, rng):
+        jitter = np.clip(self.sigma * rng.standard_normal(
+            (data["pos"].shape[0], 3)), -self.clip, self.clip)
+        data["pos"] = (data["pos"] + jitter).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class ChromaticDropGPU:
+    """Zero ALL colors with probability color_drop
+    (parity: point_transformer_gpu.py:374-382; colors live in x[:, :3])."""
+
+    def __init__(self, color_drop=0.2, **kwargs):
+        self.color_drop = color_drop
+
+    def __call__(self, data, rng):
+        if rng.random() < self.color_drop:
+            data["x"][:, :3] = 0
+        return data
+
+
+@DataTransforms.register_module()
+class ChromaticPerDropGPU:
+    """Per-point color dropout mask
+    (parity: point_transformer_gpu.py:385-393)."""
+
+    def __init__(self, color_drop=0.2, **kwargs):
+        self.color_drop = color_drop
+
+    def __call__(self, data, rng):
+        keep = (rng.random((data["x"].shape[0], 1))
+                > self.color_drop).astype(np.float32)
+        data["x"][:, :3] *= keep
+        return data
+
+
+@DataTransforms.register_module()
+class NumpyChromaticNormalize:
+    """Optional mean/std color normalization with /255 auto-scaling
+    (parity: point_transform_cpu.py:318-335)."""
+
+    def __init__(self, color_mean=None, color_std=None, **kwargs):
+        self.color_mean = (np.asarray(color_mean, np.float32)
+                           if color_mean is not None else None)
+        self.color_std = (np.asarray(color_std, np.float32)
+                          if color_std is not None else None)
+
+    def __call__(self, data, rng):
+        x = np.asarray(data["x"], np.float32)
+        if x[:, :3].max() > 1:
+            x[:, :3] = x[:, :3] / 255.0
+        if self.color_mean is not None:
+            x[:, :3] = (x[:, :3] - self.color_mean) / self.color_std
+        data["x"] = x
+        return data
+
+
+@DataTransforms.register_module()
+class PointCloudToTensor(PointsToTensor):
+    """Registered alias (parity: point_transformer_gpu.py:19-33)."""
+
+
+@DataTransforms.register_module()
+class PointCloudScaleAndTranslate:
+    """Scale (+mirror) then uniform translation — the classification default
+    (parity: point_transformer_gpu.py:183-214)."""
+
+    def __init__(self, scale=(2. / 3, 3. / 2), scale_xyz=(True, True, True),
+                 anisotropic=True, shift=(0.2, 0.2, 0.2), mirror=(0, 0, 0),
+                 **kwargs):
+        self.scale_min, self.scale_max = float(scale[0]), float(scale[1])
+        self.scale_xyz = scale_xyz
+        self.anisotropic = anisotropic
+        self.shift = np.asarray(shift, np.float32)
+        self.mirror = np.asarray(mirror, np.float32)
+        self.use_mirroring = (self.mirror > 0).sum() != 0
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale_min, self.scale_max,
+                            size=3 if self.anisotropic else 1).astype(np.float32)
+        if self.use_mirroring:
+            m = (rng.random(3) > self.mirror).astype(np.float32) * 2 - 1
+            scale = scale * m
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1.0
+        translation = (rng.random(3).astype(np.float32) - 0.5) * 2 * self.shift
+        data["pos"] = (data["pos"] * scale + translation).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class PointCloudScaleAndJitter:
+    """Scale (+mirror-scaling) then clipped gaussian jitter
+    (parity: point_transformer_gpu.py:233-265; mirror semantics follow the
+    reference: sign flips drawn per axis where mirror[i]==1)."""
+
+    def __init__(self, scale=(2. / 3, 3. / 2), scale_xyz=(True, True, True),
+                 anisotropic=True, jitter_sigma=0.01, jitter_clip=0.05,
+                 mirror=(0, 0, 0), **kwargs):
+        self.scale_min, self.scale_max = float(scale[0]), float(scale[1])
+        self.scale_xyz = scale_xyz
+        self.anisotropic = anisotropic
+        self.sigma = jitter_sigma
+        self.clip = jitter_clip
+        self.mirror = np.asarray(mirror, np.float32)
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale_min, self.scale_max,
+                            size=3 if self.anisotropic else 1).astype(np.float32)
+        m = np.round(rng.random(3)).astype(np.float32) * 2 - 1
+        m = m * self.mirror + (1 - self.mirror)
+        scale = scale * m
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1.0
+        noise = np.clip(self.sigma * rng.standard_normal(
+            (data["pos"].shape[0], 3)), -self.clip, self.clip)
+        data["pos"] = (data["pos"] * scale + noise).astype(np.float32)
+        return data
