@@ -114,3 +114,14 @@ class DGCNN(nn.Module):
 
     def forward_seg_feat(self, pos, features=None, training: bool = False):
         return pos, self._backbone(pos, features, training)
+
+
+@MODELS.register_module()
+class BallDGCNN(DGCNN):
+    """Registered-name parity with the reference's BallDGCNN
+    (openpoints/models/backbone/ball_dgcnn.py:13-60): DGCNN whose edges come
+    from ball query on xyz (radius default 0.1) instead of feature-space kNN.
+    A reference YAML with ``NAME: BallDGCNN`` builds this directly."""
+
+    graph: str = "ball"
+    radius: float = 0.1

@@ -164,3 +164,95 @@ class PointTransformerEncoder(nn.Module):
 
     def forward_seg_feat(self, p, x=None, training: bool = False):
         return self._encode(p, x, training, return_all=True)
+
+
+class TransitionUp(nn.Module):
+    """Decoder upsampling (parity: pointtransformer.py:111-143).
+
+    Head mode (``head=True``): concat per-cloud mean-pooled summary
+    (linear2) to each point then fuse (linear1). Fusion mode: linear1(fine)
+    + 3-NN inverse-distance interpolation of linear2(coarse)."""
+
+    in_planes: int
+    out_planes: Optional[int] = None
+    head: bool = False
+
+    @nn.compact
+    def __call__(self, p1, x1, p2=None, x2=None, training: bool = False):
+        if self.head:
+            g = jnp.mean(x1, axis=1, keepdims=True)
+            g = nn.Dense(self.in_planes, kernel_init=torch_linear_init,
+                         name="linear2")(g)
+            g = nn.relu(g)
+            h = jnp.concatenate(
+                [x1, jnp.broadcast_to(g, x1.shape[:2] + (self.in_planes,))],
+                axis=-1)
+            h = nn.Dense(self.in_planes, kernel_init=torch_linear_init,
+                         name="linear1")(h)
+            return nn.relu(_BN(name="bn1")(h, training))
+        from ...ops import three_interpolation
+        a = nn.Dense(self.out_planes, kernel_init=torch_linear_init,
+                     name="linear1")(x1)
+        a = nn.relu(_BN(name="bn1")(a, training))
+        b = nn.Dense(self.out_planes, kernel_init=torch_linear_init,
+                     name="linear2")(x2)
+        b = nn.relu(_BN(name="bn2")(b, training))
+        return a + three_interpolation(p1, p2, b)
+
+
+@MODELS.register_module()
+class PTSeg(nn.Module):
+    """Point Transformer semantic-segmentation network (parity:
+    pointtransformer.py:217-293 PTSeg): 5-stage encoder (strides
+    [1,4,4,4,4]) + TransitionUp U-Net decoder with one local-aggregation
+    PT block per level, Linear-BN-ReLU-Linear head -> (B,N,num_classes).
+
+    Dense-batched re-formulation of the reference's offset-based variable
+    batches (same math; see module docstring)."""
+
+    blocks: Sequence[int] = (2, 3, 4, 6, 3)
+    width: int = 32
+    nsample: Sequence[int] = (8, 16, 16, 16, 16)
+    in_channels: int = 6
+    num_classes: int = 13
+    dec_local_aggr: bool = True
+    share_planes: int = 8
+    strides: Sequence[int] = (1, 4, 4, 4, 4)
+
+    @nn.compact
+    def __call__(self, p, x=None, training: bool = False):
+        if isinstance(p, dict):
+            p, x = p["pos"], p.get("x", None)
+        if x is None:
+            x = p
+        planes = [self.width * 2 ** i for i in range(len(self.blocks))]
+        ps, xs = [], []
+        for i, pl_ in enumerate(planes):
+            p, x = TransitionDown(pl_, self.strides[i], self.nsample[i],
+                                  name=f"enc{i}_down")(p, x, training)
+            for j in range(1, self.blocks[i]):
+                p, x = Bottleneck(pl_, self.share_planes, self.nsample[i],
+                                  name=f"enc{i}_b{j}")(p, x, training)
+            ps.append(p)
+            xs.append(x)
+
+        n_lvl = len(planes)
+        # dec5 head: global-summary fusion at the deepest level
+        x = TransitionUp(planes[-1], head=True, name="dec_head_up")(
+            ps[-1], xs[-1], training=training)
+        if self.dec_local_aggr:
+            _, x = Bottleneck(planes[-1], self.share_planes, self.nsample[-1],
+                              name="dec_head_b")(ps[-1], x, training)
+        for i in range(n_lvl - 2, -1, -1):
+            x = TransitionUp(planes[i + 1], planes[i],
+                             name=f"dec{i}_up")(
+                ps[i], xs[i], ps[i + 1], x, training=training)
+            if self.dec_local_aggr:
+                _, x = Bottleneck(planes[i], self.share_planes,
+                                  self.nsample[i], name=f"dec{i}_b")(
+                    ps[i], x, training)
+        h = nn.Dense(planes[0], kernel_init=torch_linear_init,
+                     name="cls1")(x)
+        h = nn.relu(_BN(name="cls_bn")(h, training))
+        return nn.Dense(self.num_classes, kernel_init=torch_linear_init,
+                        name="cls2")(h)

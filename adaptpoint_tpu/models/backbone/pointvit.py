@@ -408,3 +408,97 @@ class ViTGraph(nn.Module):
     def forward_cls_feat(self, xyz, features=None, training: bool = False):
         _, h = self(xyz, features, training)
         return jnp.concatenate([h[:, 0], jnp.max(h[:, 1:], axis=1)], -1)
+
+
+# Registered-name parity: the reference registers PointPatchEmbed as a MODELS
+# entry (group_embed.py:58); ours is defined above and used by PointViT.
+MODELS.register_module(name="PointPatchEmbed", module=PointPatchEmbed)
+
+
+@MODELS.register_module()
+class P3Embed(nn.Module):
+    """Progressive point patch embedding (parity: group_embed.py:175-286
+    P3Embed): log_scale(1/sample_ratio) stages of {FPS downsample by scale,
+    ball/kNN grouping, aggregation features, conv1, concat pooled group
+    summary, conv2, max-pool}. Returns (positions list, features list) —
+    channel_list mirrors the reference for decoder wiring."""
+
+    sample_ratio: float = 0.0625
+    scale: int = 4
+    group_size: int = 32
+    in_channels: int = 3
+    layers: int = 4
+    embed_dim: int = 256
+    group: str = "ballquery"
+    radius: float = 0.1
+    feature_type: str = "dp_df"
+    reduction: str = "max"
+
+    @property
+    def stages(self) -> int:
+        import math
+        return int(math.log(1.0 / self.sample_ratio, self.scale))
+
+    @property
+    def channel_list(self):
+        dims = [self.in_channels]
+        d = int(self.embed_dim // 2 ** (self.stages - 1))
+        for _ in range(self.stages):
+            dims.append(d)
+            d *= 2
+        return dims
+
+    @property
+    def out_channels(self) -> int:
+        return self.channel_list[-1]
+
+    @nn.compact
+    def __call__(self, p, f=None, training: bool = False):
+        from ...ops import ball_query
+        if f is None:
+            f = p
+        pool = (lambda t: jnp.mean(t, axis=2, keepdims=True)) \
+            if self.reduction in ("mean", "avg", "meanpool", "avgpool") \
+            else (lambda t: jnp.max(t, axis=2, keepdims=True))
+        out_p, out_f = [p], [f]
+        n = p.shape[1]
+        dim = int(self.embed_dim // 2 ** (self.stages - 1))
+        for s in range(self.stages):
+            cur_p, cur_f = out_p[-1], out_f[-1]
+            n = n // self.scale
+            idx = furthest_point_sample(cur_p, n)
+            center_p = index_points(cur_p, idx)
+            center_f = index_points(cur_f, idx)
+            if "ball" in self.group or "query" in self.group:
+                nidx = ball_query(self.radius, self.group_size, cur_p,
+                                  center_p)
+            else:
+                _, nidx = knn_point(self.group_size, cur_p, center_p)
+            dp = index_points(cur_p, nidx) - center_p[:, :, None, :]
+            fj = index_points(cur_f, nidx)  # (B, G, K, C)
+            if self.feature_type == "dp_df":
+                h = jnp.concatenate([dp, fj - center_f[:, :, None, :]], -1)
+            elif self.feature_type == "dp_fj":
+                h = jnp.concatenate([dp, fj], -1)
+            else:
+                h = jnp.concatenate(
+                    [dp, fj, fj - center_f[:, :, None, :]], -1)
+            half = self.layers // 2
+            for i in range(half):
+                last = i == half - 1
+                h = ConvBlock(dim, norm_args=None if last else {"norm": "bn"},
+                              act_args=None if last else {"act": "relu"},
+                              name=f"s{s}_conv1_{i}")(h, training)
+            g = pool(h)
+            h = jnp.concatenate(
+                [jnp.broadcast_to(g, h.shape[:2] + (self.group_size,
+                                                    g.shape[-1])), h], -1)
+            chain = [dim * 2] * (half - 1) + [dim]
+            for i, c in enumerate(chain):
+                h = ConvBlock(c, norm_args={"norm": "bn"},
+                              act_args={"act": "relu"},
+                              name=f"s{s}_conv2_{i}")(h, training)
+            out_f.append(pool(h)[:, :, 0, :])
+            out_p.append(center_p)
+            dim *= 2
+        return out_p, out_f

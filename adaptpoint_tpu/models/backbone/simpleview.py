@@ -139,3 +139,31 @@ class MVModel(nn.Module):
         feat = nn.Dropout(self.dropout, deterministic=not training)(feat)
         return nn.Dense(self.num_classes, kernel_init=torch_linear_init,
                         name="fc2")(feat)
+
+
+@MODELS.register_module()
+class MVFC(nn.Module):
+    """Final multi-view FC head, registered standalone for cfg-name parity
+    (reference simpleview.py:32-58 registers it as a MODELS entry): per-view
+    BN + dropout, flatten across views, Linear-BN-ReLU-Dropout-Linear."""
+
+    num_views: int = 6
+    in_features: int = 128
+    out_features: int = 15
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, feat, training: bool = False):
+        b = feat.shape[0] // self.num_views if feat.ndim == 2 else feat.shape[0]
+        feat = feat.reshape(b, self.num_views, self.in_features)
+        feat = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                            name="mv_bn")(feat)
+        feat = nn.Dropout(self.dropout, deterministic=not training)(feat)
+        feat = feat.reshape(b, -1)
+        feat = nn.Dense(self.in_features, kernel_init=torch_linear_init,
+                        name="fc1")(feat)
+        feat = nn.relu(nn.BatchNorm(use_running_average=not training,
+                                    momentum=0.9, name="fc_bn")(feat))
+        feat = nn.Dropout(self.dropout, deterministic=not training)(feat)
+        return nn.Dense(self.out_features, kernel_init=torch_linear_init,
+                        name="fc2")(feat)

@@ -107,3 +107,9 @@ class PointBERT(nn.Module):
 
     def forward_cls_feat(self, pts, features=None, training: bool = False):
         return self._run(pts[..., :3], training, head=False)
+
+
+# Registered-name parity: the reference registers this finetune transformer
+# as ``PointTransformer`` (openpoints/models/classification/point_bert.py:43)
+# — a different class from the backbone PointTransformerEncoder family.
+MODELS.register_module(name="PointTransformer", module=PointBERT)
