@@ -88,3 +88,59 @@ class SyntheticCls(_ClsPointsBase):
         self.points = np.stack([
             _make_cloud(rng, int(c), num_points) for c in self.labels])
         self.classes = [f"class{i}" for i in range(num_classes)]
+
+
+def _make_cloud_hard(rng: np.random.Generator, cls: int,
+                     num_points: int) -> np.ndarray:
+    """HARD synthetic protocol (round 3): 15 classes defined by OVERLAPPING
+    class-conditional distributions over superellipsoid shape parameters,
+    plus per-sample bending, tilt, partial occlusion and background
+    outliers (ScanObjectNN-hardest-style artifacts). Unlike ``_make_cloud``
+    (5 clean shape families x 3 stretch groups — linearly separable, OA
+    saturates at 100%), neighboring classes here share parameter support, so
+    clean accuracy plateaus well below 100% and corruption robustness
+    separates augmentation methods (VERDICT r2 item 3)."""
+    fam = cls % 5
+    grp = cls // 5
+    # overlapping parameter draws: sigma is a large fraction of the
+    # inter-class mean gap in every coordinate
+    e1 = np.clip(rng.normal(0.3 + 0.45 * fam, 0.30), 0.15, 3.0)
+    e2 = np.clip(rng.normal(0.5 + 0.45 * ((fam + 2) % 5), 0.30), 0.15, 3.0)
+    aspect = float(np.exp(rng.normal(0.35 * grp - 0.35, 0.28)))
+    bend = rng.normal(0.12 * (grp - 1), 0.22)
+
+    eta = rng.uniform(-np.pi / 2, np.pi / 2, num_points)
+    om = rng.uniform(-np.pi, np.pi, num_points)
+
+    def spow(w, e):
+        return np.sign(w) * np.abs(w) ** e
+
+    p = np.stack([spow(np.cos(eta), e1) * spow(np.cos(om), e2),
+                  spow(np.cos(eta), e1) * spow(np.sin(om), e2),
+                  spow(np.sin(eta), e1) * aspect], axis=1).astype(np.float32)
+    p[:, 0] += bend * p[:, 2] ** 2  # random bend along z
+
+    # random tilt (up to ~30deg) + free z-rotation: hardest-variant pose noise
+    az = rng.uniform(-np.pi, np.pi)
+    tilt = rng.uniform(0, np.pi / 6)
+    ca, sa, ct, st = np.cos(az), np.sin(az), np.cos(tilt), np.sin(tilt)
+    Rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, ct, -st], [0, st, ct]], np.float32)
+    p = p @ (Rz @ Rx).T
+
+    # partial occlusion: slice off a random 15-40% half-space chunk
+    if rng.random() < 0.5:
+        d = p @ (lambda v: v / np.linalg.norm(v))(rng.standard_normal(3))
+        thresh = np.quantile(d, rng.uniform(0.60, 0.85))
+        keep = np.nonzero(d <= thresh)[0]
+        pad = rng.choice(keep, num_points - len(keep), replace=True)
+        p = p[np.concatenate([keep, pad])]
+
+    # background outliers: 2-10% uniform points (scan artifacts)
+    n_out = int(num_points * rng.uniform(0.02, 0.10))
+    if n_out:
+        out_idx = rng.choice(num_points, n_out, replace=False)
+        p[out_idx] = rng.uniform(-1, 1, (n_out, 3)).astype(np.float32)
+
+    p = p + rng.standard_normal((num_points, 3)).astype(np.float32) * 0.02
+    return p.astype(np.float32)

@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from adaptpoint_tpu.datasets.synthetic import _make_cloud  # noqa: E402
+from adaptpoint_tpu.datasets.synthetic import _make_cloud, _make_cloud_hard  # noqa: E402
 
 N_POINTS = 2048
 N_CLASSES = 15
@@ -35,9 +35,10 @@ def _normalize(pc):
     return pc / (np.linalg.norm(pc, axis=1).max() + 1e-9)
 
 
-def make_split(rng, size):
+def make_split(rng, size, maker=None):
+    maker = maker or _make_cloud
     labels = rng.integers(0, N_CLASSES, size).astype(np.int64)
-    pts = np.stack([_normalize(_make_cloud(rng, int(c), N_POINTS))
+    pts = np.stack([_normalize(maker(rng, int(c), N_POINTS))
                     for c in labels])
     return pts.astype(np.float32), labels
 
@@ -145,12 +146,17 @@ def main():
     ap.add_argument("--train", type=int, default=512)
     ap.add_argument("--test", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--protocol", choices=["easy", "hard"], default="easy",
+                    help="'hard' uses the non-saturating overlapping-class "
+                         "generator (datasets/synthetic._make_cloud_hard); "
+                         "write it to a separate --root, e.g. data_hard")
     args = ap.parse_args()
 
+    maker = _make_cloud_hard if args.protocol == "hard" else _make_cloud
     rng = np.random.default_rng(args.seed)
-    train_pts, train_y = make_split(rng, args.train)
+    train_pts, train_y = make_split(rng, args.train, maker)
     test_pts, test_y = make_split(np.random.default_rng(args.seed + 1),
-                                  args.test)
+                                  args.test, maker)
 
     main_split = os.path.join(args.root, "ScanObjectNN/h5_files/main_split")
     write_h5(os.path.join(
