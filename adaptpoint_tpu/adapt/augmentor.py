@@ -89,19 +89,30 @@ class PointsetGrouper(nn.Module):
         # path for golden comparisons.
         import os as _os
         exact = _os.environ.get("ADAPTPOINT_TPU_CONTROLLER_EXACT", "0") == "1"
-        new_xyz, new_points, dpfj, _ = ball_group(
-            self.radius, self.kneighbors, xyz, fps_idx, points,
-            relative=False, splits=None if exact else 1,
-            grad_splits=None if exact else 1)
-        grouped = dpfj[..., 3:]  # (B,K,np,C) neighbor-first
-
         alpha = self.param("affine_alpha", nn.initializers.ones,
                            (1, 1, 1, self.channels))
         beta = self.param("affine_beta", nn.initializers.zeros,
                           (1, 1, 1, self.channels))
-        # anchor normalization over the K axis (generator_component4_15.py:419-430)
-        grouped = (grouped - new_points[:, None, :, :]) * alpha + beta
-        return new_xyz, jnp.max(grouped, axis=1)
+        if exact:
+            new_xyz, new_points, dpfj, _ = ball_group(
+                self.radius, self.kneighbors, xyz, fps_idx, points,
+                relative=False)
+            grouped = dpfj[..., 3:]  # (B,K,np,C) neighbor-first
+            # anchor normalization over K (generator_component4_15.py:419-430)
+            grouped = (grouped - new_points[:, None, :, :]) * alpha + beta
+            return new_xyz, jnp.max(grouped, axis=1)
+        # fast path: fused max/min-pooled grouping — the (B,K,M,C) grouped
+        # tensor never exists. max_k of the monotone per-channel affine
+        # equals affine(fmax) where alpha >= 0 and affine(fmin) where
+        # alpha < 0 (identical math, identical gradients through the
+        # winning element).
+        from ..ops import ball_group_max
+        new_xyz, fi, fmax, fmin = ball_group_max(
+            self.radius, self.kneighbors, xyz, fps_idx, points,
+            splits=1, grad_splits=1)
+        a = alpha[0]  # (1,1,C) over (B,M,C)
+        pooled = jnp.where(a >= 0, (fmax - fi) * a, (fmin - fi) * a) + beta[0]
+        return new_xyz, pooled
 
 
 class AnchorSelfAttention(nn.Module):

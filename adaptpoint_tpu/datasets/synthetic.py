@@ -104,9 +104,9 @@ def _make_cloud_hard(rng: np.random.Generator, cls: int,
     grp = cls // 5
     # overlapping parameter draws: sigma is a large fraction of the
     # inter-class mean gap in every coordinate
-    e1 = np.clip(rng.normal(0.3 + 0.45 * fam, 0.30), 0.15, 3.0)
-    e2 = np.clip(rng.normal(0.5 + 0.45 * ((fam + 2) % 5), 0.30), 0.15, 3.0)
-    aspect = float(np.exp(rng.normal(0.35 * grp - 0.35, 0.28)))
+    e1 = np.clip(rng.normal(0.3 + 0.45 * fam, 0.22), 0.15, 3.0)
+    e2 = np.clip(rng.normal(0.5 + 0.45 * ((fam + 2) % 5), 0.22), 0.15, 3.0)
+    aspect = float(np.exp(rng.normal(0.40 * grp - 0.40, 0.22)))
     bend = rng.normal(0.12 * (grp - 1), 0.22)
 
     eta = rng.uniform(-np.pi / 2, np.pi / 2, num_points)
@@ -137,7 +137,7 @@ def _make_cloud_hard(rng: np.random.Generator, cls: int,
         p = p[np.concatenate([keep, pad])]
 
     # background outliers: 2-10% uniform points (scan artifacts)
-    n_out = int(num_points * rng.uniform(0.02, 0.10))
+    n_out = int(num_points * rng.uniform(0.01, 0.06))
     if n_out:
         out_idx = rng.choice(num_points, n_out, replace=False)
         p[out_idx] = rng.uniform(-1, 1, (n_out, 3)).astype(np.float32)

@@ -282,3 +282,40 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
         new_xyz, fi, dpfj, idx = out
         return new_xyz, fi.astype(in_dt), dpfj, idx
     return out
+
+
+def _ball_group_max_xla(radius, nsample, xyz, query_idx, feats):
+    """XLA composite fallback for ball_group_max (CPU/tests)."""
+    new_xyz = index_points(xyz, query_idx)
+    fi = index_points(feats, query_idx)
+    idx = ball_query_xla(radius, nsample, xyz, new_xyz)
+    fj = index_points(feats, idx)  # (B,M,K,C)
+    return new_xyz, fi, jnp.max(fj, axis=2), jnp.min(fj, axis=2)
+
+
+def ball_group_max(radius, nsample, xyz, query_idx, feats,
+                   splits=1, grad_splits=1):
+    """Fused ball-group + per-channel MAX/MIN pool over the neighborhood.
+
+    Returns (new_xyz (B,M,3), fi (B,M,C), fmax (B,M,C), fmin (B,M,C)) — the
+    (B,K,M,C) grouped tensor never exists. Built for consumers that reduce
+    the neighborhood immediately (the AdaptPoint controller's
+    PointsetGrouper: monotone per-channel affine then max, so max/min of the
+    raw values suffice). Pallas on TPU, XLA composite elsewhere. Gradient
+    tie-break differs from the XLA composite only on pad-repeated neighbors
+    (torch argmax semantics; see ops/pallas/ballgroup.py)."""
+    work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
+    if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
+        from .pallas.ballgroup import ball_group_maxpool_pallas
+
+        def _pallas(xyz, query_idx, feats):
+            return ball_group_maxpool_pallas(radius, nsample, xyz,
+                                             query_idx, feats, splits,
+                                             grad_splits)
+
+        def _xla(xyz, query_idx, feats):
+            return _ball_group_max_xla(radius, nsample, xyz, query_idx,
+                                       feats)
+
+        return _dispatch(_pallas, _xla, xyz, query_idx, feats)
+    return _ball_group_max_xla(radius, nsample, xyz, query_idx, feats)

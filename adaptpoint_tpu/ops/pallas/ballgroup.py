@@ -480,3 +480,299 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
 
 
 ball_group_pallas.defvjp(_ball_group_fwd, _ball_group_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused ball-group + MAX/MIN pool (round 3): the AdaptPoint controller's
+# PointsetGrouper consumes only max_k of the gathered features (after a
+# monotone per-channel affine), so the lane-padded (B,K,M,C) dpfj tensor —
+# the dominant HBM write of the plain kernel — need never exist. This
+# variant keeps the per-slot gathers in VMEM registers, tracking running
+# max/min and the winning SLOT index per channel, and writes only
+# (B,M,C)-shaped outputs. Freeing the K-deep output tiles also lets
+# _pick_tm_g choose larger (tm, g) -> fuller MXU gather matmuls.
+#
+# Gradient semantics: max-pool backward routes each channel's cotangent to
+# the FIRST maximal slot (torch.max argmax semantics, which the reference's
+# grouped torch.max training path has); the XLA composite's reduce-max VJP
+# instead splits ties, which only differ on pad-repeated neighbors —
+# immaterial for the controller and documented here.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
+                    radius: float, nsample: int, n_real: int, c: int,
+                    splits: int, g_batch: int):
+    # qidx (1,TM,1) i32; fcat (1,N,splits*C) bf16 (FEATURES only);
+    # xyzt (1,3,N) f32; xyz (1,N,3) f32 exact block
+    # outs: newxyz (1,TM,3), fi (1,TM,C), fmax (1,TM,C), fmin (1,TM,C),
+    #       amax (1,TM,C) i32, amin (1,TM,C) i32, idx (1,TM,K) i32
+    (newxyz_ref, fi_ref, fmax_ref, fmin_ref, amax_ref, amin_ref,
+     idx_ref) = outs
+    n_pad = fcat_ref.shape[1]
+    tm = qidx_ref.shape[1]
+    K = nsample
+    G = g_batch
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+
+    x_hi, x_mid, x_lo = _split3(xyz_ref[0])
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
+    q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
+    newxyz_ref[0] = q
+
+    xt = xyzt_ref[0]
+    dx = q[:, 0:1] - xt[0:1, :]
+    dy = q[:, 1:2] - xt[1:2, :]
+    dz = q[:, 2:3] - xt[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
+
+    CH = 128
+    mb = inball.astype(jnp.bfloat16)
+    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+            ).astype(jnp.bfloat16)
+    chunks = []
+    carry = jnp.zeros((tm, 1), jnp.float32)
+    for cc in range(n_pad // CH):
+        r = jnp.dot(mb[:, cc * CH:(cc + 1) * CH], tril,
+                    preferred_element_type=jnp.float32) + carry
+        chunks.append(r)
+        carry = r[:, CH - 1:CH]
+    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
+    count = carry.astype(jnp.int32)
+    ranked = jnp.where(inball, rank, 0)
+    oh_first = (ranked == 1).astype(jnp.int32)
+    oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
+
+    fcat = fcat_ref[0]  # (N, splits*C) bf16
+
+    # center features
+    rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
+    rq_sum = rq[:, :c]
+    for _s in range(1, splits):
+        rq_sum = rq_sum + rq[:, _s * c:(_s + 1) * c]
+    fi_ref[0] = rq_sum
+
+    lane_row = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1).astype(
+        jnp.float32)
+    lr_hi = lane_row.astype(jnp.bfloat16)
+    lr_lo = (lane_row - lr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lane_2 = jnp.concatenate([lr_hi, lr_lo], axis=0)
+
+    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
+    idxacc = jnp.zeros((tm, K), jnp.int32)
+    fmax = jnp.full((tm, c), -jnp.inf, jnp.float32)
+    fmin = jnp.full((tm, c), jnp.inf, jnp.float32)
+    amax = jnp.zeros((tm, c), jnp.int32)
+    amin = jnp.zeros((tm, c), jnp.int32)
+
+    for k0 in range(0, K, G):
+        pieces = []
+        for gi in range(G):
+            k = k0 + gi
+            ohk = (ranked == k + 1).astype(jnp.int32)
+            pieces.append(jnp.where(count > k, ohk, oh_first))
+        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
+        ohb = oh.astype(jnp.bfloat16)
+        r = jnp.dot(ohb, fcat, preferred_element_type=jnp.float32)
+        g = r[:, :c]
+        for _s in range(1, splits):
+            g = g + r[:, _s * c:(_s + 1) * c]
+        rs = lax.dot_general(ohb, lane_2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        sel_i = (rs[:, 0:1] + rs[:, 1:2]).astype(jnp.int32)
+        for gi in range(G):
+            gg = g[gi * tm:(gi + 1) * tm]
+            upd = gg > fmax
+            fmax = jnp.where(upd, gg, fmax)
+            amax = jnp.where(upd, k0 + gi, amax)
+            und = gg < fmin
+            fmin = jnp.where(und, gg, fmin)
+            amin = jnp.where(und, k0 + gi, amin)
+            idxacc = jnp.where(kidx == k0 + gi,
+                               sel_i[gi * tm:(gi + 1) * tm], idxacc)
+    fmax_ref[0] = fmax
+    fmin_ref[0] = fmin
+    amax_ref[0] = amax
+    amin_ref[0] = amin
+    idx_ref[0] = idxacc
+
+
+def _bwd_max_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_fmax_ref,
+                    g_fmin_ref, amax_ref, amin_ref, g_fx_ref, *,
+                    nsample: int, g_batch: int, splits: int):
+    # out: g_fx (1, N, 3+C) packed [xyz | feats], accumulated across tiles
+    K = nsample
+    G = g_batch
+    tm = idx_ref.shape[1]
+    n_pad = g_fx_ref.shape[1]
+    w = g_fx_ref.shape[2]
+    c = w - 3
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    lane_g = lane if G == 1 else jnp.concatenate([lane] * G, axis=0)
+    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
+    idx_all = idx_ref[0]
+    g_fmax = g_fmax_ref[0]
+    g_fmin = g_fmin_ref[0]
+    amax = amax_ref[0]
+    amin = amin_ref[0]
+
+    acc = jnp.zeros_like(g_fx_ref[0])
+    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    for k0 in range(0, K, G):
+        sel = jnp.concatenate(
+            [jnp.max(jnp.where(kidx == k0 + gi, idx_all, 0), axis=1,
+                     keepdims=True) for gi in range(G)], axis=0)
+        oh = (lane_g == sel).astype(jnp.bfloat16)  # (G*TM, N)
+        rows = []
+        for gi in range(G):
+            k = k0 + gi
+            rhs = (jnp.where(amax == k, g_fmax, 0.0)
+                   + jnp.where(amin == k, g_fmin, 0.0))  # (TM, C)
+            # place into [0,0,0 | rhs] (w columns) with exact selects
+            wide = jnp.pad(rhs, ((0, 0), (3, 0)))
+            rows.append(wide)
+        gcat = jnp.concatenate(rows, axis=0)  # (G*TM, w)
+        hi, mid, lo = _split3(gcat)
+        parts = (hi, mid, lo)[:splits]
+        dn = (((0,), (0,)), ((), ()))
+        for part in parts:
+            acc += lax.dot_general(oh, part, dn,
+                                   preferred_element_type=jnp.float32)
+    gq = jnp.concatenate([g_new_ref[0], g_fi_ref[0]], axis=1)
+    acc += _oh_matmul(oh_q.T, *_split3(gq))
+    g_fx_ref[0] = g_fx_ref[0] + acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6))
+def ball_group_maxpool_pallas(radius: float, nsample: int, xyz, query_idx,
+                              feats, splits: int = 1, grad_splits: int = 1):
+    """Fused ball-group with in-kernel MAX/MIN pooling over the K slots.
+
+    xyz (B,N,3) f32, query_idx (B,M) i32, feats (B,N,C) f32 ->
+    (new_xyz (B,M,3), fi (B,M,C), fmax (B,M,C), fmin (B,M,C)).
+    Selection/indices exact f32; value gathers at ``splits`` bf16 parts
+    (default 1 — the controller consumer). See the section comment above
+    for gradient tie semantics.
+    """
+    out, _ = _bg_max_fwd(radius, nsample, xyz, query_idx, feats, splits,
+                         grad_splits)
+    return out
+
+
+def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
+    B, N, _ = xyz.shape
+    M = query_idx.shape[1]
+    C = feats.shape[-1]
+    K = nsample
+    n_pad = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    parts = [jax.lax.optimization_barrier(feats.astype(jnp.bfloat16))]
+    if splits >= 2:
+        r1 = feats - parts[0].astype(jnp.float32)
+        parts.append(jax.lax.optimization_barrier(r1.astype(jnp.bfloat16)))
+        if splits >= 3:
+            parts.append(jax.lax.optimization_barrier(
+                (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    fcat = jnp.concatenate(parts, axis=-1) if splits > 1 else parts[0]
+    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2
+             + 2 * 8 * n_pad * 4 + 2 * n_pad * 128 * 4)
+    # no K-deep output tiles: only 6 (tm, c_pad)-ish blocks double-buffered
+    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, 2, fixed)
+    if n_pad != N:
+        xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
+        fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
+    else:
+        xyz_p = xyz
+    xyzt = jnp.transpose(xyz_p, (0, 2, 1))
+
+    kernel = functools.partial(
+        _fwd_max_kernel, radius=float(radius), nsample=K, n_real=N, c=C,
+        splits=splits, g_batch=g_batch)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, splits * C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(shape, lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM)
+            for shape in [(1, tm, 3), (1, tm, C), (1, tm, C), (1, tm, C),
+                          (1, tm, C), (1, tm, C), (1, tm, K)]),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, M, K), jnp.int32),
+        ),
+    )(query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt, xyz_p)
+    return outs
+
+
+def _bg_max_fwd(radius, nsample, xyz, query_idx, feats, splits, grad_splits):
+    new_xyz, fi, fmax, fmin, amax, amin, idx = _bg_max_call(
+        radius, nsample, xyz, query_idx, feats, splits)
+    res = (xyz.shape, feats.shape[-1], query_idx, idx, amax, amin)
+    return (new_xyz, fi, fmax, fmin), res
+
+
+def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
+    (b, n, _), c, query_idx, idx, amax, amin = res
+    g_new, g_fi, g_fmax, g_fmin = [g.astype(jnp.float32) for g in grads]
+    K = nsample
+    M = query_idx.shape[1]
+    n_pad = _round_up(n, 128)
+    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c, 128), K,
+                             n_pad * _round_up(c + 3, 128) * 4)
+    kernel = functools.partial(_bwd_max_kernel, nsample=K, g_batch=g_batch,
+                               splits=grad_splits)
+    g_fx = pl.pallas_call(
+        kernel,
+        grid=(b, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, K), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 1), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
+    )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi,
+      g_fmax, g_fmin, amax, amin)
+    return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
+
+
+ball_group_maxpool_pallas.defvjp(_bg_max_fwd, _bg_max_bwd)
