@@ -304,6 +304,16 @@ def ball_group_max(radius, nsample, xyz, query_idx, feats,
     raw values suffice). Pallas on TPU, XLA composite elsewhere. Gradient
     tie-break differs from the XLA composite only on pad-repeated neighbors
     (torch argmax semantics; see ops/pallas/ballgroup.py)."""
+    # Same bf16-policy contract as ball_group: the kernel is f32-in, so
+    # upcast at entry (exactly representable; one bf16 split carries full
+    # precision) and return pooled features in the caller's dtype so both
+    # lax.platform_dependent branches agree.
+    import jax.numpy as jnp
+    in_dt = feats.dtype
+    if in_dt == jnp.bfloat16:
+        feats = feats.astype(jnp.float32)
+        splits = 1
+        grad_splits = 1
     work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
     if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
         from .pallas.ballgroup import ball_group_maxpool_pallas
@@ -317,5 +327,11 @@ def ball_group_max(radius, nsample, xyz, query_idx, feats,
             return _ball_group_max_xla(radius, nsample, xyz, query_idx,
                                        feats)
 
-        return _dispatch(_pallas, _xla, xyz, query_idx, feats)
-    return _ball_group_max_xla(radius, nsample, xyz, query_idx, feats)
+        out = _dispatch(_pallas, _xla, xyz, query_idx, feats)
+    else:
+        out = _ball_group_max_xla(radius, nsample, xyz, query_idx, feats)
+    if in_dt == jnp.bfloat16:
+        new_xyz, fi, fmax, fmin = out
+        return (new_xyz, fi.astype(in_dt), fmax.astype(in_dt),
+                fmin.astype(in_dt))
+    return out

@@ -185,3 +185,27 @@ def test_kmeans_separated_clusters():
     # the two blobs end up in different clusters
     assert len(set(assign[:32])) == 1 and len(set(assign[32:])) == 1
     assert assign[0] != assign[32]
+
+
+def test_ball_group_max_bf16_dispatch_traces():
+    """bf16 feats above the Pallas-dispatch threshold must trace: both
+    lax.platform_dependent branches need identical output dtypes (the gan
+    bf16 compute policy feeds bf16 feats into the controller's grouper;
+    regression for a trace-time TypeError on the TPU path)."""
+    from adaptpoint_tpu.ops import ball_group_max, furthest_point_sample
+    rng = np.random.default_rng(3)
+    # B*M*K*N = 1*512*32*1024 = 16.8M >= 16M threshold, M % 8 == 0
+    cloud = jnp.array(rng.standard_normal((1, 1024, 3)), jnp.float32)
+    feats = jnp.array(rng.standard_normal((1, 1024, 8)), jnp.bfloat16)
+    qidx = furthest_point_sample(cloud, 512)
+    new_xyz, fi, fmax, fmin = jax.jit(
+        lambda c, q, f: ball_group_max(0.4, 32, c, q, f))(cloud, qidx, feats)
+    assert fi.dtype == jnp.bfloat16
+    assert fmax.dtype == jnp.bfloat16 and fmin.dtype == jnp.bfloat16
+    # values match the f32 composite to bf16 grade
+    _, fi32, fmax32, fmin32 = ball_group_max(
+        0.4, 32, cloud, qidx, feats.astype(jnp.float32))
+    assert np.allclose(np.asarray(fmax, np.float32),
+                       np.asarray(fmax32), atol=2e-2)
+    assert np.allclose(np.asarray(fmin, np.float32),
+                       np.asarray(fmin32), atol=2e-2)
