@@ -147,50 +147,28 @@ class AnchorSelfAttention(nn.Module):
         # einsum runs the MXU at 1/12 efficiency — bf16 QK^T/AV is 4x and
         # the controller's attention logits tolerate bf16 rounding (the
         # reference computes in whatever autocast gives it)
-        kb = k.astype(jnp.bfloat16)
-        vb = v.astype(jnp.bfloat16)
-        chunk = 512
-        # one-shot attention whenever the (B,H,M,M) logits fit comfortably:
-        # the chunked lax.map path serializes its query blocks and measured
-        # 1-2 ORDERS slower at the B=32 training protocol (805 vs 6 ms at
-        # (32,4,2048,16)); bf16 logits storage with a max-subtracted f32 exp
-        # keeps the transient at 2 bytes/element. The chunked path remains
-        # for B=128-scale programs where even bf16 logits are ~4GB.
-        one_shot_elems = b * self.head_num * m * m
-        if m <= chunk or m % chunk != 0:
-            attn = jnp.einsum("bhmd,bhnd->bhmn", q.astype(jnp.bfloat16), kb,
+        if m >= 512 and m % 8 == 0:
+            # flash-style fused attention (ops/pallas/attention.py on TPU):
+            # the (M,M) logits tile never leaves VMEM. The previous XLA
+            # one-shot path wrote the (B,H,M,M) f32 logits to HBM — pure
+            # bandwidth, measured 27.7 ms fwd / 33.8 ms fwd+bwd at the
+            # (32,4,2048,16) mask-head training shape; FLOPs there are only
+            # ~0.5 GFLOP. Same numerics class (bf16 QK^T/AV, f32 softmax).
+            from ..ops import fused_self_attention as _fsa
+            qf = q.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
+            kf = k.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
+            vf = v.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
+            out = _fsa(qf, kf, vf, scale).reshape(
+                b, self.head_num, m, head_dim)
+        else:
+            # tiny-M path (anchor attention, M = num_anchors)
+            attn = jnp.einsum("bhmd,bhnd->bhmn", q.astype(jnp.bfloat16),
+                              k.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32) / scale
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhmn,bhnd->bhmd", attn.astype(jnp.bfloat16),
-                             vb, preferred_element_type=jnp.float32)
-        elif one_shot_elems <= 1_500_000_000:
-            logits = jnp.einsum("bhmd,bhnd->bhmn", q.astype(jnp.bfloat16),
-                                kb, preferred_element_type=jnp.bfloat16)
-            mx = jnp.max(logits, -1, keepdims=True)
-            e = jnp.exp(((logits - mx).astype(jnp.float32)) / scale
-                        ).astype(jnp.bfloat16)
-            attn = e / jnp.sum(e, -1, keepdims=True).astype(jnp.bfloat16)
-            out = jnp.einsum("bhmn,bhnd->bhmd", attn, vb,
+                             v.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
-        else:
-            # exact blockwise attention over query chunks: softmax rows are
-            # independent, so chunking queries changes nothing numerically;
-            # rematerialized so the (B,H,N,N) matrix never exists
-            # (generator_component4_15.py:434-480 materializes it — O(N^2)
-            # memory kills N=2048 at the reference batch size on 16GB HBM)
-            @jax.checkpoint
-            def qchunk(qc):
-                a = jnp.einsum("bhmd,bhnd->bhmn", qc.astype(jnp.bfloat16),
-                               kb, preferred_element_type=jnp.float32) / scale
-                a = jax.nn.softmax(a, axis=-1)
-                return jnp.einsum("bhmn,bhnd->bhmd",
-                                  a.astype(jnp.bfloat16), vb,
-                                  preferred_element_type=jnp.float32)
-
-            qs = q.reshape(b, self.head_num, m // chunk, chunk, head_dim)
-            out = jax.lax.map(qchunk, jnp.moveaxis(qs, 2, 0))
-            out = jnp.moveaxis(out, 0, 2).reshape(b, self.head_num, m,
-                                                  head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(b, m, self.dim)
         out = nn.Dense(self.dim, kernel_init=torch_linear_init, dtype=dt,
                        name="res")(out)

@@ -207,7 +207,7 @@ def validate(eval_step, state, loader, mesh, cfg):
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
         y_host = batch["y"][:n_valid]
-        sb = shard_batch(mesh, batch)
+        sb = shard_batch(mesh, batch, pad_to_mesh=True)
         preds = np.asarray(eval_step(state, sb))[:n_valid]
         cm.update(preds, y_host)
     macc, oa, accs = cm.all_acc()

@@ -94,7 +94,7 @@ def validate_partseg(eval_step, state, loader, mesh, cfg, refine: bool = False):
     correct = total = 0
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
-        sb = shard_batch(mesh, batch)
+        sb = shard_batch(mesh, batch, pad_to_mesh=True)
         preds = np.asarray(eval_step(state, sb))[:n_valid]
         y = np.asarray(batch["y"])[:n_valid]
         cls0 = np.asarray(batch["cls"]).reshape(-1)[:n_valid]

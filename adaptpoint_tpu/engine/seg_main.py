@@ -90,7 +90,7 @@ def validate_seg(eval_step, state, loader, mesh, cfg):
                          ignore_index=cfg.get("ignore_index"))
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
-        sb = shard_batch(mesh, batch)
+        sb = shard_batch(mesh, batch, pad_to_mesh=True)
         preds = np.asarray(eval_step(state, sb))[:n_valid]
         cm.update(preds, np.asarray(batch["y"])[:n_valid])
     miou, macc, oa, ious, accs = get_mious(cm.tp, cm.union, cm.count)
@@ -122,7 +122,7 @@ def validate_sphere(logits_step, state, loader, mesh, cfg):
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
         inds = np.asarray(batch.pop("input_inds"))[:n_valid]
         clouds = np.asarray(batch.pop("cloud_index"))[:n_valid]
-        sb = shard_batch(mesh, batch)
+        sb = shard_batch(mesh, batch, pad_to_mesh=True)
         logits = np.asarray(logits_step(state, sb))[:n_valid]
         for b in range(n_valid):
             ci = int(clouds[b])
@@ -197,7 +197,8 @@ def main_6fold(cfg):
                              ignore_index=cfg.get("ignore_index"))
         for batch in val_loader:
             n_valid = int(batch.pop("n_valid", len(batch["y"])))
-            preds = np.asarray(eval_step(state, shard_batch(mesh, batch)))
+            preds = np.asarray(eval_step(
+                state, shard_batch(mesh, batch, pad_to_mesh=True)))
             cm.update(preds[:n_valid], np.asarray(batch["y"])[:n_valid])
         total.value = total.value + cm.value
         miou, macc, oa, ious, _ = get_mious(cm.tp, cm.union, cm.count)

@@ -335,3 +335,32 @@ def ball_group_max(radius, nsample, xyz, query_idx, feats,
         return (new_xyz, fi.astype(in_dt), fmax.astype(in_dt),
                 fmin.astype(in_dt))
     return out
+
+
+def fused_self_attention(q, k, v, scale: float):
+    """softmax(q k^T / scale) v over (BH, N, d) flattened heads.
+
+    Pallas flash-style kernel on TPU (ops/pallas/attention.py — the (N,N)
+    logits never leave VMEM; the XLA one-shot path writes them to HBM, which
+    is the entire cost at the controller's mask-head shape). XLA one-shot
+    elsewhere. Both branches share the same numerics class: bf16 QK^T/AV
+    matmuls, f32 softmax. Differentiable in both branches (custom flash
+    VJP on the Pallas side). Requires N % 8 == 0 for the kernel; callers
+    below that route to XLA anyway via the work threshold in the caller.
+    """
+    def _pallas(q, k, v):
+        from .pallas.attention import mha_pallas
+        return mha_pallas(q, k, v, scale)
+
+    def _xla(q, k, v):
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / scale
+        a = jax.nn.softmax(s, axis=-1)
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    return _dispatch(_pallas, _xla, q, k, v)

@@ -26,7 +26,8 @@ def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
+def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp",
+                pad_to_mesh: bool = False) -> dict:
     """device_put each batch array sharded on axis 0 (scalars replicated).
 
     Raises if the batch axis is not divisible by the mesh size: silently
@@ -34,6 +35,11 @@ def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
     the compute at 1/8 the throughput on an 8-chip mesh) with no warning.
     Configure ``batch_size`` as a multiple of the device count instead —
     the data loaders pad ragged final batches to full size already.
+
+    ``pad_to_mesh=True`` (eval paths that slice results by ``n_valid``)
+    instead pads the batch axis by repeating row 0 up to the next multiple
+    of the mesh size — callers MUST discard the trailing rows of anything
+    computed from the padded batch.
     """
     sharding = batch_sharding(mesh, axis_name)
     rep = NamedSharding(mesh, P())
@@ -42,14 +48,19 @@ def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
         arr = np.asarray(v)
         if arr.ndim == 0:
             out[k] = jax.device_put(arr, rep)
-        elif arr.shape[0] % mesh.size != 0:
-            raise ValueError(
-                f"shard_batch: batch axis of '{k}' ({arr.shape[0]}) is not "
-                f"divisible by the mesh size ({mesh.size}); set batch_size "
-                f"to a multiple of the device count (loaders pad ragged "
-                f"final batches to full size)")
-        else:
-            out[k] = jax.device_put(arr, sharding)
+            continue
+        if arr.shape[0] % mesh.size != 0:
+            if pad_to_mesh:
+                reps = mesh.size - arr.shape[0] % mesh.size
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[:1], reps, axis=0)], axis=0)
+            else:
+                raise ValueError(
+                    f"shard_batch: batch axis of '{k}' ({arr.shape[0]}) is "
+                    f"not divisible by the mesh size ({mesh.size}); set "
+                    f"batch_size to a multiple of the device count (loaders "
+                    f"pad ragged final batches to full size)")
+        out[k] = jax.device_put(arr, sharding)
     return out
 
 

@@ -209,3 +209,38 @@ def test_ball_group_max_bf16_dispatch_traces():
                        np.asarray(fmax32), atol=2e-2)
     assert np.allclose(np.asarray(fmin, np.float32),
                        np.asarray(fmin32), atol=2e-2)
+
+
+def test_flash_attention_interpret_matches_xla(monkeypatch):
+    """mha_pallas (CPU interpreter) == the XLA one-shot softmax path; the
+    flash-recompute VJP agrees to bf16 activation grade. Guards the mask
+    head's fused-attention branch without TPU hardware."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    from adaptpoint_tpu.ops.pallas.attention import mha_pallas
+    BH, N, D = 2, 256, 16
+    scale = D ** 0.5
+    rng = np.random.default_rng(1)
+    q = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+    k = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+    v = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bmd,bnd->bmn", q.astype(jnp.bfloat16),
+                       k.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) / scale
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bmn,bnd->bmd", a.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    got = mha_pallas(q, k, v, scale)
+    want = ref(q, k, v)
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-3
+
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(mha_pallas(*a, scale))),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        mag = max(float(jnp.max(jnp.abs(b))), 1.0)
+        assert float(jnp.max(jnp.abs(a - b))) < 3e-2 * mag

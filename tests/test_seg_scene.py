@@ -197,7 +197,7 @@ def test_sphere_train_loop_e2e(tmp_path):
         "lr": 0.01, "optimizer": {"NAME": "adamw", "weight_decay": 1e-4},
         "sched": "cosine", "epochs": 2, "min_lr": 1e-5, "t_max": 2,
         "warmup_epochs": 0, "grad_norm_clip": 10, "val_freq": 1,
-        "batch_size": 4, "val_batch_size": 4, "num_classes": 13, "seed": 0,
+        "batch_size": 8, "val_batch_size": 4, "num_classes": 13, "seed": 0,
     })
     cfg.run_dir = str(tmp_path / "run")
     os.makedirs(cfg.run_dir, exist_ok=True)

@@ -166,3 +166,38 @@ def test_gather_rows_exact():
     a = jax.jit(gather_rows_pallas)(pts, idx)
     b = jnp.take_along_axis(pts, idx[..., None], axis=1)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_attention_golden():
+    """mha_pallas vs the XLA one-shot reference at the mask-head training
+    shape (B=32,H=4,N=2048,d=16): forward within f32-accum tolerance,
+    flash-recompute gradients within bf16 activation grade."""
+    from adaptpoint_tpu.ops.pallas.attention import mha_pallas
+    BH, N, D = 16, 2048, 16
+    scale = D ** 0.5
+    rng = np.random.default_rng(0)
+    q = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+    k = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+    v = jnp.array(rng.standard_normal((BH, N, D)), jnp.float32)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bmd,bnd->bmn", q.astype(jnp.bfloat16),
+                       k.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) / scale
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bmn,bnd->bmd", a.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    got = jax.jit(lambda *a: mha_pallas(*a, scale))(q, k, v)
+    want = jax.jit(ref)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+    gp = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(mha_pallas(*a, scale))),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                          argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gp, gr):
+        scale_b = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-2 * max(scale_b, 1.0))
