@@ -134,9 +134,15 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
             # at B=32 because the input-grad then traverses both halves
             fake_x = jnp.concatenate([gen, points[..., 3:in_channels]], -1)
             logits_fake = cls_forward(cls_state, gen, fake_x)
-            logits_real = cls_forward(
-                cls_state, jax.lax.stop_gradient(input_pc),
-                jax.lax.stop_gradient(points[..., :in_channels]))
+            # real pass is gradient-free (stop_gradient): lower it through
+            # the forward-only fused eval SA kernel (utils/fastpath.py) —
+            # the fake pass above needs d(logits)/d(gen) and keeps the
+            # differentiable path
+            from ..utils.fastpath import fused_eval
+            with fused_eval():
+                logits_real = cls_forward(
+                    cls_state, jax.lax.stop_gradient(input_pc),
+                    jax.lax.stop_gradient(points[..., :in_channels]))
             loss_fake = criterion(logits_fake, label)
             loss_real = criterion(logits_real, label)
             fb = feedback_loss(loss_fake, loss_real, hardratio)

@@ -128,12 +128,14 @@ def make_eval_step(model, cfg):
 
     @jax.jit
     def eval_step(state: TrainState, batch):
+        from ..utils.fastpath import fused_eval, fused_eval_env
         points = batch["x"][:, :npoints]
         pos = points[..., :3]
         x = points[..., :in_channels]
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            pos, x, training=False)
+        with fused_eval(fused_eval_env()):
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pos, x, training=False)
         return jnp.argmax(logits, axis=-1)
 
     return eval_step

@@ -120,6 +120,83 @@ class SetAbstraction(nn.Module):
     use_res: bool = False
     is_head: bool = False
 
+    def _fused_eval_ok(self, training: bool, order: str) -> bool:
+        """Gate for the forward-only fused eval SA kernel
+        (ops/pallas/saeval.py): gradient-free eval forwards only (callers
+        opt in via utils.fastpath.fused_eval — the differentiated
+        fake-cloud feedback pass must not), exactly two convs in the
+        standard bn+relu conv-norm-act form, dp_fj features, on a TPU
+        lowering (or the CPU interpreter test hook)."""
+        import os
+        from ...utils.fastpath import fused_eval_active
+        if training or not fused_eval_active():
+            return False
+        if self.layers != 2 or self.feature_type != "dp_fj":
+            return False
+        if order != "conv-norm-act":
+            return False
+        if not (self.norm_args or {}).get("norm", "").startswith("bn"):
+            return False
+        if (self.act_args or {}).get("act") != "relu":
+            return False
+        if os.environ.get("ADAPTPOINT_TPU_KERNELS", "auto").lower() == "xla":
+            return False
+        if os.environ.get("ADAPTPOINT_TPU_PALLAS_INTERPRET", "0") == "1":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _fused_eval_stage(self, p, f, group_args, channels, use_res, order,
+                          training):
+        """Eval SA stage through the fused Pallas kernel. Declares the SAME
+        parameter tree as the unfused path (skipconv + two ConvBlocks, via
+        1-row dummy applications that XLA dead-code-eliminates), folds each
+        eval-mode BatchNorm into its conv (y = W x * s + (beta - mu * s),
+        s = gamma / sqrt(var + eps)), and runs gather+MLP+max in VMEM."""
+        from ...ops.pallas.saeval import sa_eval_pallas
+
+        npoint = p.shape[1] // self.stride
+        idx = furthest_point_sample(p, npoint)
+
+        skipconv = None
+        if use_res and self.in_channels != channels[-1]:
+            skipconv = nn.Dense(channels[-1], use_bias=True,
+                                kernel_init=torch_linear_init,
+                                name="skipconv")
+        folded = []
+        cin = channels[0]
+        for i in range(2):
+            act = None if (i == 1 and use_res) else self.act_args
+            cb = ConvBlock(channels[i + 1], norm_args=self.norm_args,
+                           act_args=act, order=order)
+            _ = cb(jnp.zeros((1, 1, 1, cin), jnp.float32), False)
+            pv = cb.variables["params"]
+            bv = cb.variables["batch_stats"]
+            wk = pv["Dense_0"]["kernel"].astype(jnp.float32)
+            bn_p = pv["NormAct_0"]["BatchNorm_0"]
+            bn_s = bv["NormAct_0"]["BatchNorm_0"]
+            s = (bn_p["scale"].astype(jnp.float32)
+                 / jnp.sqrt(bn_s["var"].astype(jnp.float32) + 1e-5))
+            folded.append((wk * s[None, :],
+                           bn_p["bias"].astype(jnp.float32)
+                           - bn_s["mean"].astype(jnp.float32) * s))
+            cin = channels[i + 1]
+        (w1, b1), (w2, b2) = folded
+
+        new_p, fi, out = sa_eval_pallas(
+            float(group_args.get("radius", 0.1)),
+            int(group_args.get("nsample", 16)), p, idx, f, w1, b1, w2, b2,
+            relative=group_args.get("relative_xyz", True),
+            normalize_dp=group_args.get("normalize_dp", False))
+        act_fn = create_act(self.act_args)
+        if use_res:
+            identity = skipconv(fi) if skipconv is not None else fi
+            out = act_fn(out + identity)
+        else:
+            # relu(max(x)) == max(relu(x)): the unfused path activates
+            # pre-pool; relu is monotone so post-pool is identical
+            out = act_fn(out)
+        return new_p, out
+
     @nn.compact
     def __call__(self, p, f, training: bool = False):
         all_aggr = (not self.is_head) and self.stride == 1
@@ -142,6 +219,10 @@ class SetAbstraction(nn.Module):
         group_args = dict(self.group_args or {})
         use_fused = (not all_aggr and
                      group_args.get("NAME", "ballquery") == "ballquery")
+
+        if use_fused and self._fused_eval_ok(training, order):
+            return self._fused_eval_stage(p, f, group_args, channels,
+                                          use_res, order, training)
         if use_fused:
             npoint = p.shape[1] // self.stride
             idx = furthest_point_sample(p, npoint)

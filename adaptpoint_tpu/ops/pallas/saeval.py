@@ -1,0 +1,264 @@
+"""Fused eval-mode SetAbstraction stage: ball-group + folded-BN MLP +
+max-pool in one Pallas kernel — the grouped (B,K,M,3+C) tensor and both
+intermediate MLP activations never touch HBM.
+
+This is the round-3 roadmap lever "eval-fused SA (BN folded, dpfj never
+hits HBM)" for the frozen feedback classifier inside the GAN step and for
+plain inference (reference SA stage: openpoints/models/backbone/
+pointnext.py:81-170 = ball_query + grouping + shared-MLP + max, each a
+separate CUDA kernel with HBM round-trips between them).
+
+Selection (ball query, pad-with-first, empty-ball lane 0) is IDENTICAL to
+ops/pallas/ballgroup.py — same rank-based k-parallel machinery. Values:
+the neighbor gather runs at ``splits`` bf16 parts (default 1) and the two
+conv matmuls run bf16-in/f32-accum — activation-grade rounding, the same
+class as the gan bf16 compute policy that gates this path. BN is folded
+into the conv weights by the caller (eval BN is a per-channel affine).
+
+Forward-only: no custom VJP. Callers gate on a no-gradient context
+(models/layers ``fused_eval``) — the differentiated fake-cloud feedback
+pass keeps the plain differentiable path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ballgroup import _round_up, _split3, _oh_matmul
+
+__all__ = ["sa_eval_pallas"]
+
+
+def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
+    """(tile, g_batch) under the VMEM budget, modeling the MLP buffers."""
+    budget = 10 * 1024 * 1024
+
+    def fits(tm, g):
+        work = tm * n_pad * 16                     # d2/rank/mask/iota
+        sel = g * tm * n_pad * 7                   # stacked one-hot i32+bf16
+        mlp = g * tm * (w_pad + mid_pad + cout_pad) * 4 + tm * cout_pad * 4
+        out_tiles = 2 * tm * (3 * 128 + w_pad + cout_pad) * 4
+        return fixed_bytes + work + sel + mlp + out_tiles <= budget
+
+    for tm in (256, 128, 64, 32, 16, 8):
+        if m % tm != 0 and tm > m:
+            continue
+        t = tm
+        while m % t != 0 and t > 1:
+            t //= 2
+        for g in (8, 4, 2, 1):
+            if fits(t, g):
+                return t, g
+    return 1, 1
+
+
+def _sa_eval_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
+                    w2_ref, b2_ref, newxyz_ref, fi_ref, out_ref, *,
+                    radius: float, nsample: int, n_real: int, c: int,
+                    relative: bool, normalize_dp: bool, splits: int,
+                    g_batch: int):
+    # qidx (1,TM,1) i32; fcat (1,N,splits*C) bf16 (features only);
+    # xyzt (1,3,N) f32; xyz (1,N,3) f32;
+    # w1 (w=3+C, mid) bf16  b1 (1, mid) f32   [BN1 folded, relu follows]
+    # w2 (mid, cout) bf16   b2 (1, cout) f32  [BN2 folded, NO act]
+    # outs: newxyz (1,TM,3) f32, fi (1,TM,C) f32, out (1,TM,cout) f32
+    n_pad = fcat_ref.shape[1]
+    tm = qidx_ref.shape[1]
+    K = nsample
+    G = g_batch
+    w = c + 3
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+
+    x_hi, x_mid, x_lo = _split3(xyz_ref[0])
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
+    q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)  # (TM,3)
+    newxyz_ref[0] = q
+
+    xt = xyzt_ref[0]
+    dx = q[:, 0:1] - xt[0:1, :]
+    dy = q[:, 1:2] - xt[1:2, :]
+    dz = q[:, 2:3] - xt[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
+
+    CH = 128
+    mb = inball.astype(jnp.bfloat16)
+    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+            ).astype(jnp.bfloat16)
+    chunks = []
+    carry = jnp.zeros((tm, 1), jnp.float32)
+    for cc in range(n_pad // CH):
+        r = jnp.dot(mb[:, cc * CH:(cc + 1) * CH], tril,
+                    preferred_element_type=jnp.float32) + carry
+        chunks.append(r)
+        carry = r[:, CH - 1:CH]
+    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
+    count = carry.astype(jnp.int32)
+    ranked = jnp.where(inball, rank, 0)
+    oh_first = (ranked == 1).astype(jnp.int32)
+    oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
+
+    fcat = fcat_ref[0]  # (N, splits*C) bf16
+
+    # center features (skip connection input)
+    rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
+    rq_sum = rq[:, :c]
+    for _s in range(1, splits):
+        rq_sum = rq_sum + rq[:, _s * c:(_s + 1) * c]
+    fi_ref[0] = rq_sum
+
+    # dp column placement: wide (TM, w) row with q broadcast into cols 0..2
+    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    dp_scale = jnp.float32(1.0 / radius) if (relative and normalize_dp) \
+        else jnp.float32(1.0)
+    scale_row = jnp.where(colw < 3, dp_scale, jnp.float32(1.0))
+    if relative:
+        q_wide = (jnp.where(colw == 0, q[:, 0:1], 0.0)
+                  + jnp.where(colw == 1, q[:, 1:2], 0.0)
+                  + jnp.where(colw == 2, q[:, 2:3], 0.0))
+
+    w1 = w1_ref[:]  # (w, mid) bf16
+    b1 = b1_ref[:]  # (1, mid) f32
+    w2 = w2_ref[:]  # (mid, cout) bf16
+    b2 = b2_ref[:]  # (1, cout) f32
+    cout = w2.shape[1]
+
+    out_max = jnp.full((tm, cout), -jnp.inf, jnp.float32)
+
+    # lane-index split rows to reconstruct the dp xyz columns: gather the
+    # xyz values through the same one-hot (packed ahead of feats in fcat
+    # would be cheaper, but xyz needs f32-exact dp for radius-normalized
+    # coordinates only to activation grade — bf16 split gather suffices
+    # at splits >= 1 since the MLP consumes it in bf16 anyway)
+    xcat = jnp.concatenate(
+        [x_hi, x_mid, x_lo][: max(splits, 2)], axis=1)  # (N, 3*s') bf16
+    sx = xcat.shape[1] // 3
+
+    for k0 in range(0, K, G):
+        pieces = []
+        for gi in range(G):
+            k = k0 + gi
+            ohk = (ranked == k + 1).astype(jnp.int32)
+            pieces.append(jnp.where(count > k, ohk, oh_first))
+        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
+        ohb = oh.astype(jnp.bfloat16)
+        r = jnp.dot(ohb, fcat, preferred_element_type=jnp.float32)
+        gfeat = r[:, :c]
+        for _s in range(1, splits):
+            gfeat = gfeat + r[:, _s * c:(_s + 1) * c]
+        rx = jnp.dot(ohb, xcat, preferred_element_type=jnp.float32)
+        gxyz = rx[:, :3]
+        for _s in range(1, sx):
+            gxyz = gxyz + rx[:, _s * 3:(_s + 1) * 3]
+        # (G*TM, w) = [dp || fj], dp relative+scaled
+        gg = jnp.concatenate([gxyz, gfeat], axis=1)
+        if relative:
+            gg = (gg - jnp.concatenate([q_wide] * G, axis=0)
+                  if G > 1 else gg - q_wide) * scale_row
+        h = jnp.dot(gg.astype(jnp.bfloat16), w1,
+                    preferred_element_type=jnp.float32) + b1
+        h = jnp.maximum(h, 0.0)
+        o = jnp.dot(h.astype(jnp.bfloat16), w2,
+                    preferred_element_type=jnp.float32) + b2
+        for gi in range(G):
+            out_max = jnp.maximum(out_max, o[gi * tm:(gi + 1) * tm])
+    out_ref[0] = out_max
+
+
+def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
+                   w1, b1, w2, b2, relative: bool = True,
+                   normalize_dp: bool = False, splits: int = 1):
+    """Fused eval SA stage. Forward-only (see module docstring).
+
+    xyz (B,N,3) f32; query_idx (B,M) i32; feats (B,N,C) f32;
+    w1 (3+C, mid), b1 (mid,), w2 (mid, cout), b2 (cout,) — BN pre-folded.
+    Returns (new_xyz (B,M,3), fi (B,M,C), out (B,M,cout)) with
+    out = max_k w2 @ relu(w1 @ [dp||fj] + b1) + b2.
+    """
+    B, N, _ = xyz.shape
+    M = query_idx.shape[1]
+    C = feats.shape[-1]
+    K = nsample
+    mid = w1.shape[1]
+    cout = w2.shape[1]
+    n_pad = _round_up(N, 128)
+
+    parts = [jax.lax.optimization_barrier(feats.astype(jnp.bfloat16))]
+    if splits >= 2:
+        r1 = feats - parts[0].astype(jnp.float32)
+        parts.append(jax.lax.optimization_barrier(r1.astype(jnp.bfloat16)))
+        if splits >= 3:
+            parts.append(jax.lax.optimization_barrier(
+                (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    fcat = jnp.concatenate(parts, axis=-1) if splits > 1 else parts[0]
+
+    w_pad = _round_up(C + 3, 128)
+    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2   # fcat bf16
+             + 2 * 8 * n_pad * 4 + 2 * n_pad * 128 * 4        # xyzt + xyz
+             + n_pad * _round_up(3 * max(splits, 2), 128) * 2  # xcat bf16
+             + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
+             + mid * _round_up(cout, 128) * 2)                 # w2 bf16
+    tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),
+                             _round_up(cout, 128), fixed)
+    if n_pad != N:
+        xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
+        fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
+    else:
+        xyz_p = xyz
+    xyzt = jnp.transpose(xyz_p, (0, 2, 1))
+
+    kernel = functools.partial(
+        _sa_eval_kernel, radius=float(radius), nsample=K, n_real=N, c=C,
+        relative=relative, normalize_dp=normalize_dp, splits=splits,
+        g_batch=g_batch)
+    new_xyz, fi, out = pl.pallas_call(
+        kernel,
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, fcat.shape[-1]), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tm, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, cout), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, cout), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt, xyz_p,
+      w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32))
+    return new_xyz, fi, out
+
+
+def _interpret() -> bool:
+    import os
+    return os.environ.get("ADAPTPOINT_TPU_PALLAS_INTERPRET", "0") == "1"

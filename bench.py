@@ -27,9 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Opt into the fast eval mode for throughput numbers: bf16 dpfj storage in
-# eval-mode grouping (argmax-parity tested; the framework DEFAULT is f32).
+# Opt into the fast eval modes for throughput numbers: bf16 dpfj storage in
+# eval-mode grouping and the fused eval SA kernel (argmax-parity tested;
+# the framework DEFAULT is f32 / unfused).
 os.environ.setdefault("ADAPTPOINT_TPU_EVAL_DPFJ", "bf16")
+os.environ.setdefault("ADAPTPOINT_TPU_EVAL_FUSED", "1")
 
 V100_INFER_CLOUDS_PER_SEC = 2040.0  # published reference figure
 A100_OVER_V100 = 2.5                # bf16/fp16 tensor peak ratio
@@ -138,10 +140,13 @@ def bench_infer():
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
     variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
 
+    from adaptpoint_tpu.utils.fastpath import fused_eval, fused_eval_env
+
     @jax.jit
     def forward(p):
         f = jnp.concatenate([p, jnp.abs(p[..., 1:2])], axis=-1)
-        logits = model.apply(variables, p, f, training=False)
+        with fused_eval(fused_eval_env()):
+            logits = model.apply(variables, p, f, training=False)
         return p + 1e-30 * jnp.sum(logits)
 
     t = _slope(forward, pos, lo=5, hi=25)

@@ -30,6 +30,7 @@ def test_pointnet2_encoder(inputs):
     assert out.shape == (2, 1024)
 
 
+@pytest.mark.slow
 def test_pointnet_encoder(inputs):
     pos, x = inputs
     enc = MODELS.build({"NAME": "PointNetEncoder", "in_channels": 4,
@@ -43,6 +44,7 @@ def test_pointnet_encoder(inputs):
     assert seg.shape == (2, 128, 1024 + 64)
 
 
+@pytest.mark.slow
 def test_pointmlp_encoder(inputs):
     pos, x = inputs
     enc = MODELS.build({"NAME": "PointMLPEncoder", "in_channels": 4,
@@ -74,6 +76,7 @@ def test_basecls_with_pointnet2(inputs):
     assert out.shape == (2, 15)
 
 
+@pytest.mark.slow
 def test_pointvit(inputs):
     pos, x = inputs
     enc = MODELS.build({"NAME": "PointViT", "in_channels": 4,
@@ -86,6 +89,7 @@ def test_pointvit(inputs):
     assert out.shape == (2, 64)
 
 
+@pytest.mark.slow
 def test_deepgcn(inputs):
     pos, x = inputs
     enc = MODELS.build({"NAME": "DeepGCN", "in_channels": 4, "channels": 8,

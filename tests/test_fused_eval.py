@@ -1,0 +1,86 @@
+"""Fused eval-mode SA kernel (ops/pallas/saeval.py) — CPU interpreter tier.
+
+The TPU golden at the real PointNeXt-S shapes lives in
+tests/test_tpu_kernels.py; this tier proves the flax integration
+(param-tree identity, BN folding, skip/act ordering) without hardware.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaptpoint_tpu.utils import EasyConfig
+from adaptpoint_tpu.models import build_model_from_cfg
+from adaptpoint_tpu.utils.fastpath import fused_eval
+
+
+def _tiny_cls_cfg():
+    return EasyConfig({
+        "NAME": "BaseCls",
+        "in_channels": 4,
+        "encoder_args": {
+            "NAME": "PointNextEncoder",
+            "blocks": [1, 1, 1], "strides": [1, 2, 2], "width": 16,
+            "in_channels": 4, "sa_layers": 2, "sa_use_res": True,
+            "radius": 0.3, "radius_scaling": 1.5, "nsample": 8,
+            "expansion": 4,
+            "aggr_args": {"feature_type": "dp_fj", "reduction": "max"},
+            "group_args": {"NAME": "ballquery", "normalize_dp": True},
+            "conv_args": {"order": "conv-norm-act"},
+            "act_args": {"act": "relu"},
+            "norm_args": {"norm": "bn"},
+        },
+        "cls_args": {"NAME": "ClsHead", "num_classes": 5,
+                     "mlps": [32], "norm_args": {"norm": "bn1d"}},
+    })
+
+
+@pytest.mark.slow
+def test_fused_eval_matches_unfused(monkeypatch):
+    """fused_eval() forward == the plain eval forward (same param tree,
+    BN folded) to bf16 activation grade; param trees are identical."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("ADAPTPOINT_TPU_KERNELS", raising=False)
+    called = []
+    import adaptpoint_tpu.ops.pallas.saeval as saeval
+    orig = saeval.sa_eval_pallas
+    monkeypatch.setattr(saeval, "sa_eval_pallas",
+                        lambda *a, **k: called.append(1) or orig(*a, **k))
+    model = build_model_from_cfg(_tiny_cls_cfg())
+    rng = np.random.default_rng(0)
+    B, N = 2, 128
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+
+    ref = model.apply(variables, pos, x, training=False)
+    with fused_eval():
+        got = model.apply(variables, pos, x, training=False)
+        # the fused trace must not have added/changed any parameters
+        v2 = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    assert called, "fused_eval() did not engage the Pallas SA kernel"
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+    mag = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-2 * mag
+    assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_fused_eval_off_by_default(monkeypatch):
+    """Without the context the eval path must not touch the Pallas kernel
+    (bit-exact default convention)."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+
+    called = []
+    import adaptpoint_tpu.ops.pallas.saeval as saeval
+    orig = saeval.sa_eval_pallas
+    monkeypatch.setattr(saeval, "sa_eval_pallas",
+                        lambda *a, **k: called.append(1) or orig(*a, **k))
+
+    model = build_model_from_cfg(_tiny_cls_cfg())
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((2, 128, 3)) * 0.4, jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    model.apply(variables, pos, x, training=False)
+    assert not called

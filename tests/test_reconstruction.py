@@ -68,6 +68,7 @@ def test_masked_pointvit_forward(rng_np):
     assert pred.shape == (2, 8 * 8, 3)  # masked groups x group_size
 
 
+@pytest.mark.slow
 def test_masked_point_group(rng_np):
     from adaptpoint_tpu.models import build_model_from_cfg
     m = build_model_from_cfg({

@@ -201,3 +201,36 @@ def test_flash_attention_golden():
         scale_b = float(jnp.max(jnp.abs(b)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-2 * max(scale_b, 1.0))
+
+
+def test_fused_eval_sa_golden():
+    """Fused eval SA kernel vs the plain eval path on PointNeXt-S at the
+    feedback shape (B=8, N=2048): bf16-grade logits, argmax parity."""
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.fastpath import fused_eval
+
+    cfg = EasyConfig()
+    cfg.load("cfgs/scanobjectnn/pointnext-s.yaml", recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    rng = np.random.default_rng(0)
+    B, N = 8, 2048
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+
+    ref = jax.jit(lambda p, f: model.apply(variables, p, f,
+                                           training=False))(pos, x)
+
+    @jax.jit
+    def fused(p, f):
+        with fused_eval():
+            return model.apply(variables, p, f, training=False)
+
+    got = fused(pos, x)
+    mag = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-2 * mag
+    match = float(jnp.mean((jnp.argmax(got, -1) == jnp.argmax(ref, -1))
+                           .astype(jnp.float32)))
+    assert match == 1.0
