@@ -29,8 +29,9 @@ from flax import linen as nn
 from .build import ADAPTMODELS
 from .common import pointwolf_transform
 from ..models.layers.blocks import compute_dtype, torch_linear_init
-from ..ops import (ball_group, ball_query, furthest_point_sample,
-                   index_points, knn_point, three_interpolation)
+from ..ops import (ball_group, ball_query, fps_prefix_idx,
+                   furthest_point_sample, index_points, knn_point,
+                   nested_fps_enabled, three_interpolation)
 
 
 def gumbel_softmax(rng, logits: jnp.ndarray, tau: float = 1.0,
@@ -73,12 +74,18 @@ class PointsetGrouper(nn.Module):
     reduce: int
     kneighbors: int
     radius: float
+    # input already in FPS selection order (groupers after the first):
+    # FPS == arange (ops.fps_prefix_idx nested-FPS identity)
+    input_fps_ordered: bool = False
 
     @nn.compact
     def __call__(self, xyz, points, training: bool = False):
         # xyz (B,N,3), points (B,N,C) -> new_xyz (B,N/r,3), new (B,N/r,C)
         npoint = xyz.shape[1] // self.reduce
-        fps_idx = furthest_point_sample(xyz, npoint)
+        if self.input_fps_ordered and nested_fps_enabled():
+            fps_idx = fps_prefix_idx(xyz.shape[0], npoint)
+        else:
+            fps_idx = furthest_point_sample(xyz, npoint)
         # fused kernel: centers + center feats + grouped feats in one pass.
         # splits=1/grad_splits=1: bf16 value gathers and gradient scatters
         # (1/3 resp. 1/2 of the MXU work) — ball SELECTION and indices stay
@@ -263,6 +270,7 @@ class SAComponent(nn.Module):
                            if big else PointsetGrouper)
             grouper = cls_grouper(out_ch, self.reducers[i],
                                   self.k_neighbors[i], self.radii[i],
+                                  input_fps_ordered=i > 0,
                                   name=f"grouper{i}")
             xyz, feat = grouper(xyz, feat, training)
             xyz_list.append(xyz)

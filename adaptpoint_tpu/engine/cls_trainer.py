@@ -83,6 +83,14 @@ def make_train_step(model, tx, criterion, cfg):
     # (parity: openpoints/optim/adahessian.py:76-101 set_hessian)
     second_order = str(cfg.get("optimizer", {}).get(
         "NAME", "")).lower() == "adahessian"
+    # optional bf16 mixed-precision training (cfg.cls_precision: bf16) —
+    # params/optimizer/BN-stats/loss stay f32, matmul compute and activation
+    # storage drop to bf16 (standard TPU training practice; the framework
+    # default stays exact f32 to match the reference numerics)
+    from ..utils.precision import dtype_override
+    cls_dtype = ("bfloat16"
+                 if str(cfg.get("cls_precision", "f32")).lower()
+                 in ("bf16", "bfloat16") else None)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng, lr):
@@ -94,11 +102,13 @@ def make_train_step(model, tx, criterion, cfg):
         y = batch["y"]
 
         def loss_fn(params):
-            logits, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                pos, x, training=True,
-                rngs={"dropout": rng_drop},
-                mutable=["batch_stats"])
+            with dtype_override(cls_dtype):
+                logits, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    pos, x, training=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+            logits = logits.astype(jnp.float32)
             return criterion(logits, y), (logits, updates["batch_stats"])
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(

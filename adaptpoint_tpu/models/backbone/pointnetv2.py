@@ -17,7 +17,8 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import furthest_point_sample, index_points, three_interpolation
+from ...ops import (fps_prefix_idx, furthest_point_sample, index_points,
+                    nested_fps_enabled, three_interpolation)
 
 
 class PointNet2SA(nn.Module):
@@ -32,6 +33,9 @@ class PointNet2SA(nn.Module):
     act_args: Optional[dict] = None
     conv_args: Optional[dict] = None
     feature_type: str = "dp_fj"
+    # input already in FPS selection order -> FPS == arange (nested-FPS
+    # identity, ops.fps_prefix_idx)
+    input_fps_ordered: bool = False
 
     @nn.compact
     def __call__(self, p, f, training: bool = False):
@@ -45,8 +49,12 @@ class PointNet2SA(nn.Module):
             new_p = p
         else:
             npoint = max(p.shape[1] // self.stride, 1)
-            idx = furthest_point_sample(p, npoint)
-            new_p = index_points(p, idx)
+            if self.input_fps_ordered and nested_fps_enabled():
+                idx = fps_prefix_idx(p.shape[0], npoint)
+                new_p = p[:, :npoint]
+            else:
+                idx = furthest_point_sample(p, npoint)
+                new_p = index_points(p, idx)
         grouper = create_grouper(group_args)
         dp, fj = grouper(new_p, p, f)
         fj = get_aggregation_features(new_p, dp, None, fj, self.feature_type)
@@ -114,6 +122,7 @@ class PointNet2Encoder(nn.Module):
             f0 = p0
         p, f = p0, f0
         ps, fs = [p0], [f0]
+        fps_ordered = False
         for i, chain in enumerate(mlps):
             p, f = PointNet2SA(
                 channels=chain, stride=self.strides[i], radius=radius[i],
@@ -121,7 +130,11 @@ class PointNet2Encoder(nn.Module):
                 norm_args=self.norm_args, act_args=self.act_args,
                 conv_args=self.conv_args,
                 feature_type=aggr.get("feature_type", "dp_fj"),
+                input_fps_ordered=fps_ordered,
                 name=f"sa{i}")(p, f, training)
+            if (radius[i] is not None and nsamples[i] is not None
+                    and self.sampler == "fps"):
+                fps_ordered = True
             ps.append(p)
             fs.append(f)
         if return_all:

@@ -19,7 +19,8 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock, create_act, torch_linear_init
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import (ball_group, eval_group_dtype, furthest_point_sample, index_points,
+from ...ops import (ball_group, eval_group_dtype, fps_prefix_idx,
+                    furthest_point_sample, index_points, nested_fps_enabled,
                     three_interpolation)
 
 
@@ -119,6 +120,15 @@ class SetAbstraction(nn.Module):
     feature_type: str = "dp_fj"
     use_res: bool = False
     is_head: bool = False
+    # input already in FPS selection order (set by the encoder for every
+    # stage after the first subsample) -> FPS == arange (ops.fps_prefix_idx)
+    input_fps_ordered: bool = False
+
+    def _sample_idx(self, p, npoint: int):
+        if (self.input_fps_ordered and self.sampler == "fps"
+                and nested_fps_enabled()):
+            return fps_prefix_idx(p.shape[0], npoint)
+        return furthest_point_sample(p, npoint)
 
     def _fused_eval_ok(self, training: bool, order: str) -> bool:
         """Gate for the forward-only fused eval SA kernel
@@ -155,7 +165,7 @@ class SetAbstraction(nn.Module):
         from ...ops.pallas.saeval import sa_eval_pallas
 
         npoint = p.shape[1] // self.stride
-        idx = furthest_point_sample(p, npoint)
+        idx = self._sample_idx(p, npoint)
 
         skipconv = None
         if use_res and self.in_channels != channels[-1]:
@@ -225,7 +235,7 @@ class SetAbstraction(nn.Module):
                                           use_res, order, training)
         if use_fused:
             npoint = p.shape[1] // self.stride
-            idx = furthest_point_sample(p, npoint)
+            idx = self._sample_idx(p, npoint)
             new_p, fi, dpfj, _ = ball_group(
                 float(group_args.get("radius", 0.1)),
                 int(group_args.get("nsample", 16)), p, idx, f,
@@ -238,7 +248,7 @@ class SetAbstraction(nn.Module):
         else:
             if not all_aggr:
                 npoint = p.shape[1] // self.stride
-                idx = furthest_point_sample(p, npoint)
+                idx = self._sample_idx(p, npoint)
                 new_p = index_points(p, idx)
             else:
                 idx = None
@@ -408,6 +418,7 @@ class PointNextEncoder(nn.Module):
         p, f = p0, f0
         ps, fs = [p0], [f0]
         in_ch = self.in_channels
+        fps_ordered = False  # becomes True after the first FPS subsample
         for i in range(len(self.blocks)):
             is_head = i == 0 and self.strides[i] == 1
             group_args = dict(self.group_args or {"NAME": "ballquery"})
@@ -421,7 +432,10 @@ class PointNextEncoder(nn.Module):
                 sampler=self.sampler,
                 feature_type=aggr_args.get("feature_type", "dp_fj"),
                 use_res=self.sa_use_res, is_head=is_head,
+                input_fps_ordered=fps_ordered,
                 name=f"enc{i}_sa")(p, f, training)
+            if self.strides[i] > 1 and not is_head and self.sampler == "fps":
+                fps_ordered = True
             in_ch = channels[i]
             for j in range(1, self.blocks[i]):
                 block_group = dict(self.group_args or {"NAME": "ballquery"})

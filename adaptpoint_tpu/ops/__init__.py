@@ -29,6 +29,7 @@ __all__ = [
     "square_distance", "furthest_point_sample", "random_sample", "ball_query",
     "knn_point", "three_nn", "three_interpolate", "three_interpolation",
     "index_points", "gather_index", "fps", "ball_group", "gather_rows",
+    "nested_fps_enabled", "fps_prefix_idx",
 ]
 
 
@@ -192,6 +193,31 @@ def fps(data, number: int):
     """FPS + gather, parity with models/layers/subsample.py:148-156 `fps`."""
     idx = furthest_point_sample(data[..., :3], number)
     return gather_rows(data, idx)
+
+
+def nested_fps_enabled() -> bool:
+    """Gate for the nested-FPS shortcut (default ON;
+    ``ADAPTPOINT_TPU_NESTED_FPS=0`` restores the explicit kernels)."""
+    return os.environ.get("ADAPTPOINT_TPU_NESTED_FPS", "1") != "0"
+
+
+def fps_prefix_idx(batch: int, npoint: int):
+    """FPS of a point set that is ALREADY in FPS selection order == arange.
+
+    FPS is greedy, so its index sequence is prefix-nested: the first ``m``
+    selections of FPS(X, n) are exactly FPS(X, m) for any m <= n, and for a
+    subset S = FPS(X, n) listed in selection order, FPS(S, m) re-selects
+    S[0..m) in order (the global argmax of the running min-distance lies in
+    S at every step, so restricting the argmax to S changes nothing). Every
+    encoder stage after the first FPS subsample receives its points in
+    selection order, making the reference's per-stage FPS relaunch
+    (sampling_gpu.cu:101-216 called per SA stage) a pure identity there —
+    this returns the arange indices those stages should use instead of
+    paying the sequential kernel. Exact up to distance ties (coincident
+    points), where FPS is arbitrary in the reference too.
+    """
+    return jnp.broadcast_to(jnp.arange(npoint, dtype=jnp.int32),
+                            (batch, npoint))
 
 
 def eval_group_dtype(training: bool):

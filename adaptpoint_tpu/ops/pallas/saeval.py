@@ -57,17 +57,21 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
     return 1, 1
 
 
-def _sa_eval_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
+def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
                     w2_ref, b2_ref, newxyz_ref, fi_ref, out_ref, *,
                     radius: float, nsample: int, n_real: int, c: int,
                     relative: bool, normalize_dp: bool, splits: int,
-                    g_batch: int):
-    # qidx (1,TM,1) i32; fcat (1,N,splits*C) bf16 (features only);
+                    g_batch: int, sx: int):
+    # qidx (1,TM,1) i32;
+    # vcat (1,N,3*sx + splits*C) bf16 — xyz bf16 splits PACKED ahead of the
+    #   feature splits so ONE one-hot matmul per k-group gathers both (the
+    #   xyz columns ride the same 128-lane pad the features already pay for
+    #   at C<=122; a separate xcat matmul doubled the dominant MXU cost);
     # xyzt (1,3,N) f32; xyz (1,N,3) f32;
     # w1 (w=3+C, mid) bf16  b1 (1, mid) f32   [BN1 folded, relu follows]
     # w2 (mid, cout) bf16   b2 (1, cout) f32  [BN2 folded, NO act]
     # outs: newxyz (1,TM,3) f32, fi (1,TM,C) f32, out (1,TM,cout) f32
-    n_pad = fcat_ref.shape[1]
+    n_pad = vcat_ref.shape[1]
     tm = qidx_ref.shape[1]
     K = nsample
     G = g_batch
@@ -105,13 +109,14 @@ def _sa_eval_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     oh_first = (ranked == 1).astype(jnp.int32)
     oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
 
-    fcat = fcat_ref[0]  # (N, splits*C) bf16
+    vcat = vcat_ref[0]  # (N, 3*sx + splits*C) bf16
+    fo = 3 * sx  # feature column offset
 
     # center features (skip connection input)
-    rq = jnp.dot(oh_q, fcat, preferred_element_type=jnp.float32)
-    rq_sum = rq[:, :c]
+    rq = jnp.dot(oh_q, vcat, preferred_element_type=jnp.float32)
+    rq_sum = rq[:, fo:fo + c]
     for _s in range(1, splits):
-        rq_sum = rq_sum + rq[:, _s * c:(_s + 1) * c]
+        rq_sum = rq_sum + rq[:, fo + _s * c:fo + (_s + 1) * c]
     fi_ref[0] = rq_sum
 
     # dp column placement: wide (TM, w) row with q broadcast into cols 0..2
@@ -132,15 +137,10 @@ def _sa_eval_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
 
     out_max = jnp.full((tm, cout), -jnp.inf, jnp.float32)
 
-    # lane-index split rows to reconstruct the dp xyz columns: gather the
-    # xyz values through the same one-hot (packed ahead of feats in fcat
-    # would be cheaper, but xyz needs f32-exact dp for radius-normalized
-    # coordinates only to activation grade — bf16 split gather suffices
-    # at splits >= 1 since the MLP consumes it in bf16 anyway)
-    xcat = jnp.concatenate(
-        [x_hi, x_mid, x_lo][: max(splits, 2)], axis=1)  # (N, 3*s') bf16
-    sx = xcat.shape[1] // 3
-
+    # the xyz bf16 splits are packed into vcat's leading 3*sx columns, so
+    # ONE one-hot matmul per k-group gathers coordinates AND features (dp
+    # is consumed by the bf16 MLP — two bf16 splits carry it to activation
+    # grade; new_xyz above is the only f32-exact coordinate output)
     for k0 in range(0, K, G):
         pieces = []
         for gi in range(G):
@@ -149,14 +149,13 @@ def _sa_eval_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
             pieces.append(jnp.where(count > k, ohk, oh_first))
         oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
         ohb = oh.astype(jnp.bfloat16)
-        r = jnp.dot(ohb, fcat, preferred_element_type=jnp.float32)
-        gfeat = r[:, :c]
+        r = jnp.dot(ohb, vcat, preferred_element_type=jnp.float32)
+        gfeat = r[:, fo:fo + c]
         for _s in range(1, splits):
-            gfeat = gfeat + r[:, _s * c:(_s + 1) * c]
-        rx = jnp.dot(ohb, xcat, preferred_element_type=jnp.float32)
-        gxyz = rx[:, :3]
+            gfeat = gfeat + r[:, fo + _s * c:fo + (_s + 1) * c]
+        gxyz = r[:, 0:3]
         for _s in range(1, sx):
-            gxyz = gxyz + rx[:, _s * 3:(_s + 1) * 3]
+            gxyz = gxyz + r[:, _s * 3:(_s + 1) * 3]
         # (G*TM, w) = [dp || fj], dp relative+scaled
         gg = jnp.concatenate([gxyz, gfeat], axis=1)
         if relative:
@@ -197,19 +196,27 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
         if splits >= 3:
             parts.append(jax.lax.optimization_barrier(
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
-    fcat = jnp.concatenate(parts, axis=-1) if splits > 1 else parts[0]
+    # xyz bf16 splits (2 = ~16-bit mantissa, activation grade for dp) packed
+    # AHEAD of the feature splits: one one-hot matmul gathers both
+    sx = max(splits, 2)
+    x_parts = [jax.lax.optimization_barrier(xyz.astype(jnp.bfloat16))]
+    xr = xyz - x_parts[0].astype(jnp.float32)
+    x_parts.append(jax.lax.optimization_barrier(xr.astype(jnp.bfloat16)))
+    if sx >= 3:
+        x_parts.append(jax.lax.optimization_barrier(
+            (xr - x_parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    vcat = jnp.concatenate(x_parts + parts, axis=-1)
 
     w_pad = _round_up(C + 3, 128)
-    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2   # fcat bf16
+    fixed = (2 * n_pad * _round_up(vcat.shape[-1], 128) * 2   # vcat bf16
              + 2 * 8 * n_pad * 4 + 2 * n_pad * 128 * 4        # xyzt + xyz
-             + n_pad * _round_up(3 * max(splits, 2), 128) * 2  # xcat bf16
              + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
              + mid * _round_up(cout, 128) * 2)                 # w2 bf16
     tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),
                              _round_up(cout, 128), fixed)
     if n_pad != N:
         xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
-        fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
+        vcat = jnp.pad(vcat, ((0, 0), (0, n_pad - N), (0, 0)))
     else:
         xyz_p = xyz
     xyzt = jnp.transpose(xyz_p, (0, 2, 1))
@@ -217,14 +224,14 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
     kernel = functools.partial(
         _sa_eval_kernel, radius=float(radius), nsample=K, n_real=N, c=C,
         relative=relative, normalize_dp=normalize_dp, splits=splits,
-        g_batch=g_batch)
+        g_batch=g_batch, sx=sx)
     new_xyz, fi, out = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
         in_specs=[
             pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, fcat.shape[-1]), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_pad, vcat.shape[-1]), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -253,7 +260,7 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
             jax.ShapeDtypeStruct((B, M, cout), jnp.float32),
         ),
         interpret=_interpret(),
-    )(query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt, xyz_p,
+    )(query_idx.astype(jnp.int32)[:, :, None], vcat, xyzt, xyz_p,
       w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32))
     return new_xyz, fi, out

@@ -244,3 +244,49 @@ def test_flash_attention_interpret_matches_xla(monkeypatch):
     for a, b in zip(gp, gr):
         mag = max(float(jnp.max(jnp.abs(b))), 1.0)
         assert float(jnp.max(jnp.abs(a - b))) < 3e-2 * mag
+
+
+def test_nested_fps_prefix_identity(rng_np):
+    """FPS is greedy => prefix-nested: (1) fps(x, m) == fps(x, n)[:m];
+    (2) fps over a selection-ordered FPS subset is arange — the identity
+    every encoder stage after the first subsample relies on
+    (ops.fps_prefix_idx)."""
+    from adaptpoint_tpu.ops import fps_prefix_idx, index_points
+
+    x = jnp.asarray(rng_np.standard_normal((4, 256, 3)), jnp.float32)
+    idx64 = furthest_point_sample(x, 64)
+    idx16 = furthest_point_sample(x, 16)
+    assert (np.asarray(idx64[:, :16]) == np.asarray(idx16)).all()
+
+    sub = index_points(x, idx64)  # (4, 64, 3) in FPS selection order
+    again = furthest_point_sample(sub, 32)
+    assert (np.asarray(again)
+            == np.asarray(fps_prefix_idx(4, 32))).all()
+
+
+def test_nested_fps_encoder_equivalence(rng_np):
+    """PointNextEncoder output is identical with the nested-FPS shortcut on
+    vs off (generic point positions: no distance ties)."""
+    import os
+    from adaptpoint_tpu.models.backbone.pointnext import PointNextEncoder
+
+    enc = PointNextEncoder(in_channels=3, width=8, blocks=(1, 1, 1),
+                           strides=(1, 4, 4), sa_layers=1, expansion=4)
+    x = jnp.asarray(rng_np.standard_normal((2, 128, 3)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x, x, False)
+
+    old = os.environ.get("ADAPTPOINT_TPU_NESTED_FPS")
+    try:
+        os.environ["ADAPTPOINT_TPU_NESTED_FPS"] = "0"
+        ps_off, fs_off = enc.apply(params, x, x, False)
+        os.environ["ADAPTPOINT_TPU_NESTED_FPS"] = "1"
+        ps_on, fs_on = enc.apply(params, x, x, False)
+    finally:
+        if old is None:
+            os.environ.pop("ADAPTPOINT_TPU_NESTED_FPS", None)
+        else:
+            os.environ["ADAPTPOINT_TPU_NESTED_FPS"] = old
+    for a, b in zip(ps_off, ps_on):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(fs_off, fs_on):
+        assert np.allclose(np.asarray(a), np.asarray(b))

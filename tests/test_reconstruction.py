@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from adaptpoint_tpu.models import build_model_from_cfg
 from adaptpoint_tpu.models.reconstruction.masked_point import random_masking
