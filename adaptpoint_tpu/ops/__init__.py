@@ -68,12 +68,22 @@ def furthest_point_sample(xyz, npoint: int):
                      xyz)
 
 
-# ball query / three_nn are XLA top_k based on all backends (MXU-friendly);
-# kept behind names without _xla suffix for call-site stability.
+# ball query is XLA top_k based on all backends (MXU-friendly); kept behind
+# a name without _xla suffix for call-site stability.
 ball_query = ball_query_xla
-three_nn = three_nn_xla
 
 _knn_point_xla = knn_point
+
+
+def three_nn(unknown, known):
+    """3-NN through the dispatching knn_point: on TPU at FP-upsampling
+    shapes the Pallas kernel keeps the (TM,N) distance tile VMEM-resident
+    (the XLA path materializes the full (B,N,M) matrix in HBM — the
+    dominant cost of the augmentor's U-Net decode); d2 stays differentiable
+    via the live-coordinate recompute. Semantics: geometry.three_nn_xla
+    (reference interpolate_gpu.cu three_nn)."""
+    d2, idx = knn_point(3, known, unknown)
+    return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
 
 
 def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
@@ -93,9 +103,13 @@ def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
     recompute."""
     k_eff = min(nsample, xyz.shape[1])
     # size guard (measured): pallas wins 3.3-5.5x at B=128 M=N=1024 K=20
-    # and B=32 M=2048 K=24, loses at B=8 M=N=256 (0.84 vs 0.19 ms)
-    work = xyz.shape[0] * new_xyz.shape[1] * xyz.shape[1] * k_eff
-    if (k_eff > 8 and xyz.ndim == 3 and new_xyz.shape[1] % 8 == 0
+    # and B=32 M=2048 K=24, loses at B=8 M=N=256 (0.84 vs 0.19 ms). Small k
+    # (incl. the three_nn k=3) qualifies too since round 3: d2 is
+    # differentiable on the Pallas branch via the live-coordinate recompute,
+    # and the work gate keeps tiny problems on XLA. The distance-matrix
+    # HBM traffic the kernel avoids is k-independent.
+    work = xyz.shape[0] * new_xyz.shape[1] * xyz.shape[1] * max(k_eff, 16)
+    if (k_eff >= 3 and xyz.ndim == 3 and new_xyz.shape[1] % 8 == 0
             and work >= 64 * 1024 * 1024 and _kernel_mode() != "xla"):
         from .pallas.knn import knn_pallas, knn_fits
         if knn_fits(xyz.shape[1], xyz.shape[2], k_eff):

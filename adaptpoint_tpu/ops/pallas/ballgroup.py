@@ -203,15 +203,26 @@ def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     idxacc = jnp.zeros((tm, K), jnp.int32)
 
+    # pad-with-first values, gathered ONCE per tile: the k-loop one-hots
+    # for empty slots are left all-zero (gather -> 0 row) and the fallback
+    # is applied as a (TM, w) select on the GATHERED rows — the per-slot
+    # (TM, N) select/convert chain was the kernel's VPU bottleneck (~5
+    # lane-passes per slot; now 2: one broadcast compare + one convert)
+    ohfb = oh_first.astype(jnp.bfloat16)
+    rf = jnp.dot(ohfb, fcat, preferred_element_type=jnp.float32)
+    g_first = rf[:, :w]
+    for _s in range(1, splits):
+        g_first = g_first + rf[:, _s * w:(_s + 1) * w]
+    rsf = lax.dot_general(ohfb, lane_2, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    sel_first = (rsf[:, 0:1] + rsf[:, 1:2]).astype(jnp.int32)  # (TM,1)
+
     for k0 in range(0, K, G):
-        # (G*TM, N) stacked one-hots for slots k0..k0+G-1 (k-parallel)
-        pieces = []
-        for gi in range(G):
-            k = k0 + gi
-            ohk = (ranked == k + 1).astype(jnp.int32)
-            pieces.append(jnp.where(count > k, ohk, oh_first))
-        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
-        ohb = oh.astype(jnp.bfloat16)
+        # (G,TM,N) one-hots for slots k0..k0+G-1 in ONE broadcast compare
+        kvals = (k0 + 1
+                 + lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0))
+        ohb = (ranked[None] == kvals).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)
         r = jnp.dot(ohb, fcat,
                     preferred_element_type=jnp.float32)  # (G*TM, splits*w)
         g = r[:, :w]
@@ -220,19 +231,17 @@ def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
         rs = lax.dot_general(ohb, lane_2, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (G*TM,2)
         sel_f = rs[:, 0:1] + rs[:, 1:2]  # exact
-        odt = dpfj_ref.dtype
-        if relative:
-            for gi in range(G):
-                gg = (g[gi * tm:(gi + 1) * tm] - q_wide) * scale_row
-                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = gg[None].astype(odt)
-        else:
-            for gi in range(G):
-                dpfj_ref[0, pl.ds(k0 + gi, 1), :, :] = \
-                    g[gi * tm:(gi + 1) * tm][None].astype(odt)
         sel_i = sel_f.astype(jnp.int32)
+        odt = dpfj_ref.dtype
         for gi in range(G):
-            idxacc = jnp.where(kidx == k0 + gi,
-                               sel_i[gi * tm:(gi + 1) * tm], idxacc)
+            k = k0 + gi
+            gk = jnp.where(count > k, g[gi * tm:(gi + 1) * tm], g_first)
+            if relative:
+                gk = (gk - q_wide) * scale_row
+            dpfj_ref[0, pl.ds(k, 1), :, :] = gk[None].astype(odt)
+            sk = jnp.where(count > k, sel_i[gi * tm:(gi + 1) * tm],
+                           sel_first)
+            idxacc = jnp.where(kidx == k, sk, idxacc)
     idx_ref[0] = idxacc
 
 
@@ -258,7 +267,6 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
         g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    lane_g = lane if G == 1 else jnp.concatenate([lane] * G, axis=0)
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)  # (TM,N)
     idx_all = idx_ref[0]  # (TM, K)
@@ -270,11 +278,14 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
     scale_row = jnp.where(colw < 3, jnp.float32(scale), jnp.float32(1.0))
 
     for k0 in range(0, K, G):
-        # (G*TM,) selected indices for slots k0..k0+G-1
-        sel = jnp.concatenate(
+        # (G,TM,1) selected indices for slots k0..k0+G-1; the one-hot comes
+        # from ONE broadcast compare (a concat of per-slot (TM,N) compares
+        # was a wasted full lane-pass)
+        sel = jnp.stack(
             [jnp.max(jnp.where(kidx == k0 + gi, idx_all, 0), axis=1,
-                     keepdims=True) for gi in range(G)], axis=0)  # (G*TM,1)
-        oh = (lane_g == sel).astype(jnp.bfloat16)  # (G*TM, N)
+                     keepdims=True) for gi in range(G)], axis=0)  # (G,TM,1)
+        oh = (lane[None] == sel).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)  # (G*TM, N)
         gcat = jnp.concatenate(
             [g_dpfj_ref[0, pl.ds(k0 + gi, 1), :, :][0] for gi in range(G)],
             axis=0) * scale_row  # (G*TM, w)
@@ -298,33 +309,48 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
 
 def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
                fixed_bytes: int = 0) -> tuple:
-    """(tile, g_batch) fitting the 16MB scoped-VMEM limit.
+    """(tile, g_batch) fitting the ~16MB VMEM limit.
 
-    Accounts for: the rank/mask working set (tm, n_pad) i32/f32; the
-    k-parallel stacked one-hot (g*tm, n_pad) in i32 + bf16; double-buffered
-    lane-padded output tiles; plus caller-supplied fixed block bytes (the
-    per-batch xyz/fcat input blocks, which do NOT shrink with tm — missing
-    them OOM'd the N=2048 augmentor grouper). Prefers a large g (fewer,
-    bigger MXU gathers) over a large tm."""
-    budget = 10 * 1024 * 1024
+    Accounts for: the rank/mask working set (tm, n_pad); the k-parallel
+    stacked bf16 one-hot (g*tm, n_pad) + its compare temp; the K-deep
+    lane-padded output/input tile; plus caller-supplied fixed block bytes
+    (the per-batch xyz/fcat input blocks, which do NOT shrink with tm —
+    missing them OOM'd the N=2048 augmentor grouper). Prefers a large tm
+    (amortize distance/rank work), then a large g (fewer, fuller MXU
+    gathers). Recalibrated in round 3 after the broadcast-compare one-hot
+    rewrite: the old 7B/elem selection estimate forced (64, 1) tiles on
+    the N=2048 stages — 64-row gather matmuls at <10% MXU utilization;
+    the measured footprint (bf16 one-hot + i8 mask ~3B/elem) admits far
+    bigger stacks. Preference order is LARGE G first (the stacked one-hot
+    row count g*tm is what fills the MXU; the old model's (64,1)/(64,2)
+    picks ran 64-row gather matmuls at <10%% utilization), then large tm.
+    The budget stays conservative (13M vs the 16M hard scoped-vmem limit)
+    because Mosaic's true allocation varies ~±2M with splits/layout — a
+    compile-time OOM is fatal, a slightly smaller tile is not.
+    ``ADAPTPOINT_TPU_BG_TILE=tm,g`` overrides for experiments."""
+    import os
+    ov = os.environ.get("ADAPTPOINT_TPU_BG_TILE")
+    if ov:
+        t, g = ov.split(",")
+        return int(t), int(g)
+    budget = 13 * 1024 * 1024
 
     def fits(tm, g):
-        work = tm * n_pad * 16           # rank, d2, mask, iota
-        sel = g * tm * n_pad * 7         # stacked one-hot i32 + bf16 + copy
-        out_tiles = 2 * (k * tm * 128 * 4 + k * tm * c_pad * 4)
-        return fixed_bytes + work + sel + out_tiles <= budget
+        work = tm * n_pad * 12               # lane/d2/rank/mask temporaries
+        sel = g * tm * n_pad * 3             # bf16 stacked one-hot + compare
+        gat = g * tm * 128 * 8               # gather result + split-sum rows
+        out_tiles = 2 * k * tm * c_pad * 4   # K-deep dpfj block, dbl-buffered
+        return fixed_bytes + work + sel + gat + out_tiles <= budget
 
-    # prefer big tiles (amortize per-tile distance/rank/fcat work), then a
-    # big k-batch (fewer, fuller MXU gathers)
-    for tm in (256, 128, 64, 32, 16, 8):
-        if m % tm != 0 and tm > m:
+    for g in (8, 4, 2, 1):
+        if k % g != 0:
             continue
-        t = tm
-        while m % t != 0 and t > 1:
-            t //= 2
-        for g in (8, 4, 2, 1):
-            if k % g != 0:
+        for tm in (256, 128, 64, 32, 16, 8):
+            if m % tm != 0 and tm > m:
                 continue
+            t = tm
+            while m % t != 0 and t > 1:
+                t //= 2
             if fits(t, g):
                 return t, g
     return 1, 1
@@ -379,11 +405,11 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             parts.append(jax.lax.optimization_barrier(
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
     fcat = jnp.concatenate(parts, axis=-1)  # (B, N, splits*w) bf16
-    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2  # fcat bf16
-             + 2 * 8 * n_pad * 4)  # xyzT (3->8 sublanes, N) f32
+    fixed = (n_pad * _round_up(fcat.shape[-1], 128) * 2  # fcat bf16
+             + 8 * n_pad * 4)  # xyzT (3->8 sublanes, N) f32
     if splits < 3:
-        fixed += 2 * n_pad * 128 * 4  # separate exact-xyz f32 block
-    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, K, fixed)
+        fixed += n_pad * 128 * 4  # separate exact-xyz f32 block
+    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(C + 3, 128), K, fixed)
     if n_pad != N:
         xyz = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -450,8 +476,9 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
     # bwd fixed blocks: the revisited (n_pad, 3+C) f32 accumulator output
-    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c, 128), K,
-                             n_pad * _round_up(c + 3, 128) * 4)
+    # block + the kernel's in-register acc copy of it
+    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c + 3, 128), K,
+                             2 * n_pad * _round_up(c + 3, 128) * 4)
 
     kernel = functools.partial(
         _bwd_kernel, radius=float(radius), nsample=K, relative=relative,
@@ -568,14 +595,23 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
     amax = jnp.zeros((tm, c), jnp.int32)
     amin = jnp.zeros((tm, c), jnp.int32)
 
+    # pad-with-first gathered ONCE; empty slots post-fix on (TM, C) rows
+    # (one broadcast compare + one convert per k-group — the per-slot
+    # (TM, N) select chain was the VPU bottleneck)
+    ohfb = oh_first.astype(jnp.bfloat16)
+    rf = jnp.dot(ohfb, fcat, preferred_element_type=jnp.float32)
+    g_first = rf[:, :c]
+    for _s in range(1, splits):
+        g_first = g_first + rf[:, _s * c:(_s + 1) * c]
+    rsf = lax.dot_general(ohfb, lane_2, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    sel_first = (rsf[:, 0:1] + rsf[:, 1:2]).astype(jnp.int32)
+
     for k0 in range(0, K, G):
-        pieces = []
-        for gi in range(G):
-            k = k0 + gi
-            ohk = (ranked == k + 1).astype(jnp.int32)
-            pieces.append(jnp.where(count > k, ohk, oh_first))
-        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
-        ohb = oh.astype(jnp.bfloat16)
+        kvals = (k0 + 1
+                 + lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0))
+        ohb = (ranked[None] == kvals).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)
         r = jnp.dot(ohb, fcat, preferred_element_type=jnp.float32)
         g = r[:, :c]
         for _s in range(1, splits):
@@ -584,15 +620,18 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
                              preferred_element_type=jnp.float32)
         sel_i = (rs[:, 0:1] + rs[:, 1:2]).astype(jnp.int32)
         for gi in range(G):
-            gg = g[gi * tm:(gi + 1) * tm]
+            k = k0 + gi
+            gg = jnp.where(count > k, g[gi * tm:(gi + 1) * tm], g_first)
             upd = gg > fmax
             fmax = jnp.where(upd, gg, fmax)
-            amax = jnp.where(upd, k0 + gi, amax)
+            amax = jnp.where(upd, k, amax)
             und = gg < fmin
             fmin = jnp.where(und, gg, fmin)
-            amin = jnp.where(und, k0 + gi, amin)
-            idxacc = jnp.where(kidx == k0 + gi,
-                               sel_i[gi * tm:(gi + 1) * tm], idxacc)
+            amin = jnp.where(und, k, amin)
+            idxacc = jnp.where(
+                kidx == k,
+                jnp.where(count > k, sel_i[gi * tm:(gi + 1) * tm],
+                          sel_first), idxacc)
     fmax_ref[0] = fmax
     fmin_ref[0] = fmin
     amax_ref[0] = amax
@@ -616,7 +655,6 @@ def _bwd_max_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_fmax_ref,
         g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    lane_g = lane if G == 1 else jnp.concatenate([lane] * G, axis=0)
     kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
     idx_all = idx_ref[0]
@@ -629,10 +667,11 @@ def _bwd_max_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_fmax_ref,
     colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
 
     for k0 in range(0, K, G):
-        sel = jnp.concatenate(
+        sel = jnp.stack(
             [jnp.max(jnp.where(kidx == k0 + gi, idx_all, 0), axis=1,
-                     keepdims=True) for gi in range(G)], axis=0)
-        oh = (lane_g == sel).astype(jnp.bfloat16)  # (G*TM, N)
+                     keepdims=True) for gi in range(G)], axis=0)  # (G,TM,1)
+        oh = (lane[None] == sel).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)  # (G*TM, N)
         rows = []
         for gi in range(G):
             k = k0 + gi
@@ -684,10 +723,11 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
             parts.append(jax.lax.optimization_barrier(
                 (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
     fcat = jnp.concatenate(parts, axis=-1) if splits > 1 else parts[0]
-    fixed = (2 * n_pad * _round_up(fcat.shape[-1], 128) * 2
-             + 2 * 8 * n_pad * 4 + 2 * n_pad * 128 * 4)
-    # no K-deep output tiles: only 6 (tm, c_pad)-ish blocks double-buffered
-    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, 2, fixed)
+    fixed = (n_pad * _round_up(fcat.shape[-1], 128) * 2
+             + 8 * n_pad * 4 + n_pad * 128 * 4)
+    # no K-deep output tiles, but 7 (tm, c_pad) out blocks (dbl-buffered)
+    # + 4 running max/min/arg registers — k=4 models that footprint
+    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, 4, fixed)
     if n_pad != N:
         xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -742,8 +782,10 @@ def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
-    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c, 128), K,
-                             n_pad * _round_up(c + 3, 128) * 4)
+    # no K-deep input block here (gradients reconstructed from amax/amin);
+    # k=4 models the six (tm, c) in-blocks + the gcat/splits temporaries
+    tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c + 3, 128), 4,
+                             2 * n_pad * _round_up(c + 3, 128) * 4)
     kernel = functools.partial(_bwd_max_kernel, nsample=K, g_batch=g_batch,
                                splits=grad_splits)
     g_fx = pl.pallas_call(

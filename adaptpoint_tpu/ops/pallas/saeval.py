@@ -35,23 +35,32 @@ __all__ = ["sa_eval_pallas"]
 
 
 def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
-    """(tile, g_batch) under the VMEM budget, modeling the MLP buffers."""
-    budget = 10 * 1024 * 1024
+    """(tile, g_batch) under the VMEM budget, modeling the MLP buffers.
+    Same round-3 recalibration as ballgroup._pick_tm_g (bf16 one-hot +
+    compare temp ~3B/elem; the old 7B estimate forced tiny low-utilization
+    tiles). ``ADAPTPOINT_TPU_SAEVAL_TILE=tm,g`` overrides."""
+    import os
+    ov = os.environ.get("ADAPTPOINT_TPU_SAEVAL_TILE")
+    if ov:
+        t, g = ov.split(",")
+        return int(t), int(g)
+    budget = 13 * 1024 * 1024
 
     def fits(tm, g):
-        work = tm * n_pad * 16                     # d2/rank/mask/iota
-        sel = g * tm * n_pad * 7                   # stacked one-hot i32+bf16
+        work = tm * n_pad * 12                     # d2/rank/mask/iota
+        sel = g * tm * n_pad * 3                   # bf16 one-hot + compare
         mlp = g * tm * (w_pad + mid_pad + cout_pad) * 4 + tm * cout_pad * 4
         out_tiles = 2 * tm * (3 * 128 + w_pad + cout_pad) * 4
         return fixed_bytes + work + sel + mlp + out_tiles <= budget
 
-    for tm in (256, 128, 64, 32, 16, 8):
-        if m % tm != 0 and tm > m:
-            continue
-        t = tm
-        while m % t != 0 and t > 1:
-            t //= 2
-        for g in (8, 4, 2, 1):
+    # large G first: the stacked one-hot row count g*tm fills the MXU
+    for g in (8, 4, 2, 1):
+        for tm in (256, 128, 64, 32, 16, 8):
+            if m % tm != 0 and tm > m:
+                continue
+            t = tm
+            while m % t != 0 and t > 1:
+                t //= 2
             if fits(t, g):
                 return t, g
     return 1, 1
@@ -140,15 +149,25 @@ def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     # the xyz bf16 splits are packed into vcat's leading 3*sx columns, so
     # ONE one-hot matmul per k-group gathers coordinates AND features (dp
     # is consumed by the bf16 MLP — two bf16 splits carry it to activation
-    # grade; new_xyz above is the only f32-exact coordinate output)
+    # grade; new_xyz above is the only f32-exact coordinate output).
+    # Empty slots leave the one-hot all-zero and the pad-with-first
+    # fallback is applied to the GATHERED (TM, w) rows — one broadcast
+    # compare + one convert per k-group instead of per-slot select chains
+    # over (TM, N) (the kernel's VPU bottleneck).
+    rf = jnp.dot(oh_first.astype(jnp.bfloat16), vcat,
+                 preferred_element_type=jnp.float32)  # (TM, cols)
+    gf_feat = rf[:, fo:fo + c]
+    for _s in range(1, splits):
+        gf_feat = gf_feat + rf[:, fo + _s * c:fo + (_s + 1) * c]
+    gf_xyz = rf[:, 0:3]
+    for _s in range(1, sx):
+        gf_xyz = gf_xyz + rf[:, _s * 3:(_s + 1) * 3]
+    gg_f = jnp.concatenate([gf_xyz, gf_feat], axis=1)  # (TM, w)
     for k0 in range(0, K, G):
-        pieces = []
-        for gi in range(G):
-            k = k0 + gi
-            ohk = (ranked == k + 1).astype(jnp.int32)
-            pieces.append(jnp.where(count > k, ohk, oh_first))
-        oh = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
-        ohb = oh.astype(jnp.bfloat16)
+        kvals = (k0 + 1
+                 + lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0))
+        ohb = (ranked[None] == kvals).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)
         r = jnp.dot(ohb, vcat, preferred_element_type=jnp.float32)
         gfeat = r[:, fo:fo + c]
         for _s in range(1, splits):
@@ -158,6 +177,11 @@ def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
             gxyz = gxyz + r[:, _s * 3:(_s + 1) * 3]
         # (G*TM, w) = [dp || fj], dp relative+scaled
         gg = jnp.concatenate([gxyz, gfeat], axis=1)
+        # pad-with-first on the gathered rows (cheap (TM, w) selects)
+        pieces = [jnp.where(count > (k0 + gi),
+                            gg[gi * tm:(gi + 1) * tm], gg_f)
+                  for gi in range(G)]
+        gg = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
         if relative:
             gg = (gg - jnp.concatenate([q_wide] * G, axis=0)
                   if G > 1 else gg - q_wide) * scale_row
@@ -208,8 +232,8 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
     vcat = jnp.concatenate(x_parts + parts, axis=-1)
 
     w_pad = _round_up(C + 3, 128)
-    fixed = (2 * n_pad * _round_up(vcat.shape[-1], 128) * 2   # vcat bf16
-             + 2 * 8 * n_pad * 4 + 2 * n_pad * 128 * 4        # xyzt + xyz
+    fixed = (n_pad * _round_up(vcat.shape[-1], 128) * 2       # vcat bf16
+             + 8 * n_pad * 4 + n_pad * 128 * 4                # xyzt + xyz
              + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
              + mid * _round_up(cout, 128) * 2)                 # w2 bf16
     tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),

@@ -89,10 +89,26 @@ def main():
             continue
         name = e.get("name", "?")
         agg[name] = agg.get(name, 0.0) + e.get("dur", 0)
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:60]
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:70]
+
+    # map HLO op names -> source op_name metadata from the same program
+    meta = {}
+    try:
+        txt = jax.jit(lambda *a: gan_step(*a)).lower(
+            gan_state, state, sb, key, jnp.float32(3.0)).compile().as_text()
+        import re
+        for mm in re.finditer(
+                r"%([\w.\-]+) = [^\n]*?metadata=\{op_name=\"([^\"]*)\"", txt):
+            meta[mm.group(1)] = mm.group(2)
+    except Exception as e:
+        print("hlo map failed:", e)
+
     print(f"{'us total':>12}  op")
     for name, us in top:
-        print(f"{us:12.0f}  {name[:110]}")
+        src = meta.get(name, "")
+        # strip the jit prefix noise
+        src = src.replace("jit(gan_step)/jit(gan_step)/", "")
+        print(f"{us:12.0f}  {name[:60]}  {src[:130]}")
     print("DONE", flush=True)
 
 
