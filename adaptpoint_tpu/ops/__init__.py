@@ -122,7 +122,9 @@ def knn_point(nsample: int, xyz, new_xyz):  # noqa: F811 (dispatcher shadow)
                         [idx, jnp.broadcast_to(idx[..., :1],
                                                idx.shape[:-1] + (reps,))], -1)
                 # differentiable d2 from live coords through the frozen idx
-                nbr = _index_points_xla(xyz, idx)  # (B,M,K,C)
+                # (dispatching gather: the XLA row gather here was ~1ms per
+                # step at the FP-upsampling shapes)
+                nbr = index_points(xyz, idx)  # (B,M,K,C)
                 cross = jnp.einsum(
                     "bmc,bmkc->bmk", new_xyz, nbr,
                     preferred_element_type=jnp.float32,
@@ -155,8 +157,11 @@ def _pad_knn(d2k, idx, nsample):
 
 def gather_rows(points, idx):
     """Exact (B,M,C) row gather of (B,N,C) by (B,M) — Pallas one-hot matmul
-    on TPU, take_along_axis elsewhere."""
-    if points.ndim == 3 and idx.ndim == 2 and points.dtype == jnp.float32:
+    on TPU, take_along_axis elsewhere. bf16 values are exact with one
+    split (they ride the 1.0 one-hot multipliers into the f32 accumulator),
+    so the bf16 compute policy's activations qualify too."""
+    if (points.ndim == 3 and idx.ndim == 2
+            and points.dtype in (jnp.float32, jnp.bfloat16)):
         from .pallas.gather import gather_rows_pallas, gather_fits
         if gather_fits(points.shape[1], points.shape[2], idx.shape[1]):
             return _dispatch(gather_rows_pallas, _index_points_xla,
@@ -172,7 +177,8 @@ _index_points_xla = index_points
 
 def index_points(points, idx):  # noqa: F811  (intentional dispatcher shadow)
     import jax.numpy as _jnp
-    if getattr(points, "ndim", 0) == 3 and points.dtype == _jnp.float32 \
+    if getattr(points, "ndim", 0) == 3 \
+            and points.dtype in (_jnp.float32, _jnp.bfloat16) \
             and getattr(idx, "ndim", 0) >= 2:
         b = points.shape[0]
         flat = idx.reshape(b, -1)
@@ -298,6 +304,12 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
             splits = 1
         if grad_splits is None:
             grad_splits = 1  # cotangents are bf16-grade under the policy
+        if out_dtype is None:
+            # bf16-policy consumers cast dpfj to bf16 at the next matmul
+            # anyway: emitting bf16 halves the dominant (B,K,M,3+C) HBM
+            # write and deletes the convert copy (values are policy-grade
+            # rounded either way; selection/idx stay exact)
+            out_dtype = jnp.bfloat16
     # pallas tiles need M divisible by 8 (qidx sublane constraint); tiny
     # problems (B*M*K*N < 16M one-hot elements) go to XLA — measured
     # crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA composite

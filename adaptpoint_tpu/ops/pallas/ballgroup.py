@@ -34,6 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ball_group_pallas"]
 
+# Mosaic's default scoped-vmem limit is 16MB; the one-hot gather kernels
+# profit from much larger (tm, g) working sets, so raise it and budget
+# tiles against 24MB (double-buffering margin below the raised cap).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -77,6 +82,46 @@ def _oh_matmul(oh_bf16, hi, mid, lo):
     g += jnp.dot(oh_bf16, mid, preferred_element_type=jnp.float32)
     g += jnp.dot(oh_bf16, lo, preferred_element_type=jnp.float32)
     return g
+
+
+def _inball_rank(inball, tm: int, n_pad: int):
+    """Exact in-ball rank (1-based inclusive prefix count along lanes).
+
+    Two-level parallel prefix: per-128-lane-chunk inclusive counts via
+    INDEPENDENT tril matmuls (0/1 bf16 in, f32 accumulate — exact), then an
+    exclusive cross-chunk prefix with one tiny (tm, nch)x(nch, nch) matmul
+    (chunk totals <= 128 are bf16-exact; the f32 accumulation keeps the
+    cross-chunk sum exact up to N). Replaces the round-2 sequential carry
+    chain — 16 DEPENDENT matmuls per tile whose latency, not the gather
+    MXU work, dominated every N=2048 kernel in the step trace.
+
+    Returns (rank (tm, n_pad) i32 inclusive count, count (tm, 1) i32).
+    """
+    CH = 128
+    nch = n_pad // CH
+    mb = inball.astype(jnp.bfloat16)
+    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+            ).astype(jnp.bfloat16)
+    within = [jnp.dot(mb[:, c * CH:(c + 1) * CH], tril,
+                      preferred_element_type=jnp.float32)
+              for c in range(nch)]  # independent -> pipelined
+    if nch == 1:
+        rank = within[0].astype(jnp.int32)
+        return rank, rank[:, CH - 1:CH]
+    totals = jnp.concatenate([w[:, CH - 1:CH] for w in within],
+                             axis=1)  # (tm, nch), each <= 128: bf16-exact
+    excl = (lax.broadcasted_iota(jnp.int32, (nch, nch), 0)
+            < lax.broadcasted_iota(jnp.int32, (nch, nch), 1)
+            ).astype(jnp.bfloat16)
+    prefix = jnp.dot(totals.astype(jnp.bfloat16), excl,
+                     preferred_element_type=jnp.float32)  # (tm, nch)
+    rank = jnp.concatenate(
+        [within[c] + prefix[:, c:c + 1] for c in range(nch)],
+        axis=1).astype(jnp.int32)
+    count = (prefix[:, nch - 1:nch] + totals[:, nch - 1:nch]).astype(
+        jnp.int32)
+    return rank, count
 
 
 def bwd_splits() -> int:
@@ -151,21 +196,8 @@ def _fwd_kernel(qidx_ref, fcat_ref, xyzt_ref, *rest, radius: float,
 
     inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
 
-    # exact in-ball rank by chunked tril matmul (0/1 bf16 in, f32 acc)
-    CH = 128
-    mb = inball.astype(jnp.bfloat16)
-    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
-            ).astype(jnp.bfloat16)
-    chunks = []
-    carry = jnp.zeros((tm, 1), jnp.float32)
-    for c in range(n_pad // CH):
-        r = jnp.dot(mb[:, c * CH:(c + 1) * CH], tril,
-                    preferred_element_type=jnp.float32) + carry
-        chunks.append(r)
-        carry = r[:, CH - 1:CH]
-    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
-    count = carry.astype(jnp.int32)  # (TM,1)
+    # exact in-ball rank, two-level parallel prefix (no carry chain)
+    rank, count = _inball_rank(inball, tm, n_pad)
     # masked rank: 0 on out-of-ball lanes so (ranked == k+1) is the slot-k
     # one-hot directly
     ranked = jnp.where(inball, rank, 0)
@@ -333,7 +365,7 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
     if ov:
         t, g = ov.split(",")
         return int(t), int(g)
-    budget = 13 * 1024 * 1024
+    budget = 24 * 1024 * 1024
 
     def fits(tm, g):
         work = tm * n_pad * 12               # lane/d2/rank/mask temporaries
@@ -453,6 +485,7 @@ def _ball_group_call(radius, nsample, xyz, query_idx, feats, relative,
             jax.ShapeDtypeStruct((B, K, M, C + 3), out_dtype),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
     return new_xyz, fi, dpfj, idx
 
@@ -471,7 +504,11 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
                     splits, grad_splits, res, grads):
     (b, n, _), c, query_idx, idx = res
     g_new, g_fi, g_dpfj, _ = grads
-    g_dpfj = g_dpfj.astype(jnp.float32)
+    # g_dpfj enters the kernel in its native dtype: a bf16 cotangent (the
+    # bf16-policy fake pass) is consumed as the single bf16 split directly —
+    # the (B,K,M,w) f32 conversion was a 268MB HBM copy per step
+    g_new = g_new.astype(jnp.float32)
+    g_fi = g_fi.astype(jnp.float32)
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
@@ -502,6 +539,7 @@ def _ball_group_bwd(radius, nsample, relative, normalize_dp, out_dtype,
         out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi, g_dpfj)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
@@ -555,20 +593,7 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
     d2 = dx * dx + dy * dy + dz * dz
     inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
 
-    CH = 128
-    mb = inball.astype(jnp.bfloat16)
-    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
-            ).astype(jnp.bfloat16)
-    chunks = []
-    carry = jnp.zeros((tm, 1), jnp.float32)
-    for cc in range(n_pad // CH):
-        r = jnp.dot(mb[:, cc * CH:(cc + 1) * CH], tril,
-                    preferred_element_type=jnp.float32) + carry
-        chunks.append(r)
-        carry = r[:, CH - 1:CH]
-    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
-    count = carry.astype(jnp.int32)
+    rank, count = _inball_rank(inball, tm, n_pad)
     ranked = jnp.where(inball, rank, 0)
     oh_first = (ranked == 1).astype(jnp.int32)
     oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
@@ -765,6 +790,7 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
             jax.ShapeDtypeStruct((B, M, C), jnp.int32),
             jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
+        compiler_params=_COMPILER_PARAMS,
     )(query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt, xyz_p)
     return outs
 
@@ -812,6 +838,7 @@ def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
         out_specs=pl.BlockSpec((1, n_pad, c + 3), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
     )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi,
       g_fmax, g_fmin, amax, amin)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]

@@ -36,12 +36,12 @@ __all__ = ["gather_rows_pallas"]
 
 
 def _fwd_kernel(pts_ref, idx_ref, out_ref, *, splits: int = 3):
-    # pts (1,N,C) f32 | idx (1,1,TM) i32 | out (1,TM,C)
+    # pts (1,N,C) f32/bf16 | idx (1,1,TM) i32 | out (1,TM,C)
     _, n_pad, _ = pts_ref.shape
     tm = idx_ref.shape[-1]
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     oh = (lane == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
-    out_ref[0] = _oh_matmul_s(oh, pts_ref[0], splits)
+    out_ref[0] = _oh_matmul_s(oh, pts_ref[0], splits).astype(out_ref.dtype)
 
 
 def _bwd_kernel(idx_ref, g_ref, out_ref, *, splits: int = 3):
@@ -89,7 +89,10 @@ def gather_fits(n: int, c: int, m: int) -> bool:
 
 @jax.custom_vjp
 def gather_rows_pallas(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """points (B,N,C) f32, idx (B,M) int -> (B,M,C), exact."""
+    """points (B,N,C) f32/bf16, idx (B,M) int -> (B,M,C), exact.
+
+    bf16 values are exact with ONE split (they pass the 1.0 one-hot
+    multipliers unchanged into the f32 accumulator)."""
     return _call_fwd(points, idx)
 
 
@@ -103,8 +106,9 @@ def _call_fwd(points, idx):
         points = jnp.pad(points, ((0, 0), (0, n_pad - N), (0, 0)))
     if m_pad != M:
         idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
+    splits = 1 if points.dtype == jnp.bfloat16 else gather_splits()
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, splits=gather_splits()),
+        functools.partial(_fwd_kernel, splits=splits),
         grid=(B, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, n_pad, C), lambda b, t: (b, 0, 0),
@@ -114,17 +118,20 @@ def _call_fwd(points, idx):
         ],
         out_specs=pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m_pad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, C), points.dtype),
     )(points, idx.astype(jnp.int32)[:, None, :])
     return out[:, :M] if m_pad != M else out
 
 
 def _fwd(points, idx):
-    return _call_fwd(points, idx), (points.shape, idx)
+    # dtype sentinel: custom_vjp residuals must be JAX values
+    return _call_fwd(points, idx), (points.shape,
+                                    jnp.zeros((), points.dtype), idx)
 
 
 def _bwd(res, g):
-    (b, n, c), idx = res
+    (b, n, c), pdt_sentinel, idx = res
+    pdt = pdt_sentinel.dtype
     M = idx.shape[1]
     n_pad = _round_up(n, 128)
     m_pad = _pad_m(M)
@@ -133,8 +140,9 @@ def _bwd(res, g):
         # padded idx rows point at row 0 but carry zero cotangent
         idx = jnp.pad(idx, ((0, 0), (0, m_pad - M)))
         g = jnp.pad(g, ((0, 0), (0, m_pad - M), (0, 0)))
+    splits = 1 if g.dtype == jnp.bfloat16 else gather_splits()
     g_pts = pl.pallas_call(
-        functools.partial(_bwd_kernel, splits=gather_splits()),
+        functools.partial(_bwd_kernel, splits=splits),
         grid=(b, m_pad // tm),
         in_specs=[
             pl.BlockSpec((1, 1, tm), lambda i, t: (i, 0, t),
@@ -144,9 +152,11 @@ def _bwd(res, g):
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        # scatter-accumulation stays f32 across tiles; cast to the primal
+        # dtype only at the end (custom_vjp cotangent dtype contract)
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
     )(idx.astype(jnp.int32)[:, None, :], g)
-    return g_pts[:, :n], None
+    return g_pts[:, :n].astype(pdt), None
 
 
 gather_rows_pallas.defvjp(_fwd, _bwd)

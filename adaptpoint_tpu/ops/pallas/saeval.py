@@ -29,7 +29,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ballgroup import _round_up, _split3, _oh_matmul
+from .ballgroup import _COMPILER_PARAMS, _round_up, _split3, _oh_matmul
 
 __all__ = ["sa_eval_pallas"]
 
@@ -44,7 +44,7 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
     if ov:
         t, g = ov.split(",")
         return int(t), int(g)
-    budget = 13 * 1024 * 1024
+    budget = 24 * 1024 * 1024
 
     def fits(tm, g):
         work = tm * n_pad * 12                     # d2/rank/mask/iota
@@ -100,20 +100,8 @@ def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     d2 = dx * dx + dy * dy + dz * dz
     inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
 
-    CH = 128
-    mb = inball.astype(jnp.bfloat16)
-    tril = (lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-            <= lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
-            ).astype(jnp.bfloat16)
-    chunks = []
-    carry = jnp.zeros((tm, 1), jnp.float32)
-    for cc in range(n_pad // CH):
-        r = jnp.dot(mb[:, cc * CH:(cc + 1) * CH], tril,
-                    preferred_element_type=jnp.float32) + carry
-        chunks.append(r)
-        carry = r[:, CH - 1:CH]
-    rank = jnp.concatenate(chunks, axis=1).astype(jnp.int32)
-    count = carry.astype(jnp.int32)
+    from .ballgroup import _inball_rank
+    rank, count = _inball_rank(inball, tm, n_pad)
     ranked = jnp.where(inball, rank, 0)
     oh_first = (ranked == 1).astype(jnp.int32)
     oh_first = jnp.where(count > 0, oh_first, (lane == 0).astype(jnp.int32))
@@ -284,6 +272,7 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
             jax.ShapeDtypeStruct((B, M, cout), jnp.float32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(query_idx.astype(jnp.int32)[:, :, None], vcat, xyzt, xyz_p,
       w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32))

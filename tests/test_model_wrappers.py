@@ -76,6 +76,7 @@ def test_pointmlp_cls_wrapper(inputs):
     _one_sgd_step(m, v, loss)
 
 
+@pytest.mark.slow
 def test_pointvit_decoder(inputs):
     pos, x = inputs
     model = build_model_from_cfg({

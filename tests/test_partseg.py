@@ -75,6 +75,7 @@ def test_part_seg_refinement_fixes_outlier():
     assert (out == 0).all()
 
 
+@pytest.mark.slow
 def test_partseg_trainer_loop(tmp_path):
     from adaptpoint_tpu.utils import EasyConfig
     from adaptpoint_tpu.engine.partseg_main import main

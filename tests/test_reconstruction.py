@@ -31,6 +31,7 @@ def test_random_masking():
         assert (m[b][np.asarray(ids_keep)[b]] == 0).all()
 
 
+@pytest.mark.slow
 def test_masked_point_forward_and_grad(rng_np):
     model = build_model_from_cfg(MAE_CFG)
     xyz = jnp.asarray(rng_np.standard_normal((2, 64, 3)), jnp.float32)
