@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .build import ADAPTMODELS
-from ..models.layers.blocks import torch_linear_init
+from ..models.layers.blocks import compute_dtype, torch_linear_init
 
 
 @ADAPTMODELS.register_module()
@@ -23,25 +23,33 @@ class PointDiscriminator1(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, training: bool = True):
-        # xyz (B, N, 3) -> prob (B, 1)
+        # xyz (B, N, 3) -> prob (B, 1). Matmul compute follows the active
+        # dtype policy (params and the spectral-norm power iteration stay
+        # f32; the (B,N,1024) activation was the dominant D HBM cost in
+        # f32); the sigmoid prob is returned in f32 for the BCE.
+        dt = compute_dtype()
         x = xyz
         for i, ch in enumerate((64, 128, 1024)):
             x = nn.SpectralNorm(
-                nn.Dense(ch, kernel_init=torch_linear_init, name=f"sa_conv{i}"),
+                nn.Dense(ch, kernel_init=torch_linear_init, dtype=dt,
+                         name=f"sa_conv{i}"),
             )(x, update_stats=training)
             x = nn.relu(x)
         x = jnp.max(x, axis=1)  # group-all max pool -> (B, 1024)
 
         for i, ch in enumerate((512, 256)):
             x = nn.SpectralNorm(
-                nn.Dense(ch, kernel_init=torch_linear_init, name=f"fc{i}"),
+                nn.Dense(ch, kernel_init=torch_linear_init, dtype=dt,
+                         name=f"fc{i}"),
             )(x, update_stats=training)
             x = nn.relu(x)
             x = nn.Dropout(0.4, deterministic=not training)(x)
         x = nn.SpectralNorm(
-            nn.Dense(self.num_classes, kernel_init=torch_linear_init, name="fc2"),
+            nn.Dense(self.num_classes, kernel_init=torch_linear_init,
+                     dtype=dt, name="fc2"),
         )(x, update_stats=training)
         prob = nn.SpectralNorm(
-            nn.Dense(1, kernel_init=torch_linear_init, name="prob_head"),
+            nn.Dense(1, kernel_init=torch_linear_init, dtype=dt,
+                     name="prob_head"),
         )(x, update_stats=training)
-        return nn.sigmoid(prob)
+        return nn.sigmoid(prob.astype(jnp.float32))

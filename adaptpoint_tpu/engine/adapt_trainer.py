@@ -161,17 +161,22 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
         gen_detached = jax.lax.stop_gradient(aux["gen"])
 
         def d_loss_fn(d_params):
-            real_prob, d_up1 = discriminator.apply(
+            # ONE batched D pass over [real || fake] (reference runs two,
+            # train_autoaug.py:167-171): the spectral-norm power-iteration
+            # state is input-independent (it only reads the weights), the
+            # dropout masks are per-row independent either way, and there
+            # is no BatchNorm in D — so the batched pass computes the same
+            # losses while amortizing the D launch/bwd structure.
+            bsz = input_pc.shape[0]
+            both = jnp.concatenate([input_pc, gen_detached], axis=0)
+            prob, d_up = discriminator.apply(
                 {"params": d_params, "batch_stats": aux["d_bs"]},
-                input_pc, training=True, rngs={"dropout": r_d2},
+                both, training=True, rngs={"dropout": r_d2},
                 mutable=["batch_stats"])
-            fake_prob, d_up2 = discriminator.apply(
-                {"params": d_params, "batch_stats": d_up1["batch_stats"]},
-                gen_detached, training=True, rngs={"dropout": r_d3},
-                mutable=["batch_stats"])
+            real_prob, fake_prob = prob[:bsz], prob[bsz:]
             real_loss = _bce(real_prob, jnp.full_like(real_prob, 0.9))
             fake_loss = _bce(fake_prob, jnp.full_like(fake_prob, 0.1))
-            return (real_loss + fake_loss) / 2.0, d_up2["batch_stats"]
+            return (real_loss + fake_loss) / 2.0, d_up["batch_stats"]
 
         (d_loss, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params)
