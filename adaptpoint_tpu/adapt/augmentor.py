@@ -85,7 +85,10 @@ class PointsetGrouper(nn.Module):
         if self.input_fps_ordered and nested_fps_enabled():
             fps_idx = fps_prefix_idx(xyz.shape[0], npoint)
         else:
-            fps_idx = furthest_point_sample(xyz, npoint)
+            from ..utils.fastpath import shared_first_fps_idx
+            fps_idx = shared_first_fps_idx(xyz.shape[0], npoint)
+            if fps_idx is None:
+                fps_idx = furthest_point_sample(xyz, npoint)
         # fused kernel: centers + center feats + grouped feats in one pass.
         # splits=1/grad_splits=1: bf16 value gathers and gradient scatters
         # (1/3 resp. 1/2 of the MXU work) — ball SELECTION and indices stay
@@ -338,7 +341,10 @@ class AdaptPoint_Augmentor(nn.Module):
     def __call__(self, xyz, training: bool = True):
         rng_wolf = self.make_rng("wolf")
         rng_gumbel = self.make_rng("gumbel")
-        fps_idx = furthest_point_sample(xyz, self.w_num_anchor)
+        from ..utils.fastpath import shared_first_fps_idx
+        fps_idx = shared_first_fps_idx(xyz.shape[0], self.w_num_anchor)
+        if fps_idx is None:
+            fps_idx = furthest_point_sample(xyz, self.w_num_anchor)
         anchors = index_points(xyz, fps_idx)
         probs, masking = SAComponent(name="predict_prob_layer")(
             xyz, fps_idx, rng_gumbel, training)

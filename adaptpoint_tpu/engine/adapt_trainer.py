@@ -115,12 +115,22 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
         input_pc = points[..., :3]
         r_wolf, r_gum, r_d1, r_d2, r_d3 = jax.random.split(rng, 5)
 
+        # ONE sequential FPS of the raw cloud serves every consumer that
+        # subsamples it this step (prefix property, ops.fps_prefix_idx):
+        # the controller's anchors + grouper0 and the frozen-classifier
+        # REAL pass's first SA all take prefixes. The fake pass runs on
+        # the generated cloud and keeps its own FPS.
+        from ..ops import furthest_point_sample
+        from ..utils.fastpath import shared_first_fps
+        fps_shared = furthest_point_sample(input_pc, input_pc.shape[1] // 2)
+
         def g_loss_fn(g_params):
-            (_, gen), g_updates = generator.apply(
-                {"params": g_params, "batch_stats": state.g_bs},
-                input_pc, training=True,
-                rngs={"wolf": r_wolf, "gumbel": r_gum},
-                mutable=["batch_stats"])
+            with shared_first_fps(fps_shared):
+                (_, gen), g_updates = generator.apply(
+                    {"params": g_params, "batch_stats": state.g_bs},
+                    input_pc, training=True,
+                    rngs={"wolf": r_wolf, "gumbel": r_gum},
+                    mutable=["batch_stats"])
             d_prob, d_updates = discriminator.apply(
                 {"params": state.d_params, "batch_stats": state.d_bs},
                 gen, training=True, rngs={"dropout": r_d1},
@@ -139,7 +149,8 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
             # the fake pass above needs d(logits)/d(gen) and keeps the
             # differentiable path
             from ..utils.fastpath import fused_eval
-            with fused_eval():
+            with fused_eval(), shared_first_fps(
+                    jax.lax.stop_gradient(fps_shared)):
                 logits_real = cls_forward(
                     cls_state, jax.lax.stop_gradient(input_pc),
                     jax.lax.stop_gradient(points[..., :in_channels]))

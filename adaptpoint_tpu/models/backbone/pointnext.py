@@ -128,6 +128,14 @@ class SetAbstraction(nn.Module):
         if (self.input_fps_ordered and self.sampler == "fps"
                 and nested_fps_enabled()):
             return fps_prefix_idx(p.shape[0], npoint)
+        if self.sampler == "fps" and nested_fps_enabled():
+            # a caller-scoped precomputed FPS of this cloud (prefix
+            # property; utils.fastpath.shared_first_fps) serves the first
+            # subsampling stage without relaunching the kernel
+            from ...utils.fastpath import shared_first_fps_idx
+            shared = shared_first_fps_idx(p.shape[0], npoint)
+            if shared is not None:
+                return shared
         return furthest_point_sample(p, npoint)
 
     def _fused_eval_ok(self, training: bool, order: str) -> bool:

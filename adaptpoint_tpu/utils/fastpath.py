@@ -41,3 +41,39 @@ def fused_eval_active() -> bool:
 
 def fused_eval_env() -> bool:
     return os.environ.get("ADAPTPOINT_TPU_EVAL_FUSED", "0") == "1"
+
+
+# --- shared-FPS scope -------------------------------------------------------
+# FPS is greedy, so fps(x, m) == fps(x, n)[:m] for m <= n (prefix property;
+# see ops.fps_prefix_idx). A caller that runs SEVERAL models over the SAME
+# point cloud inside one step (the gan_step: the controller's grouper0 and
+# the frozen-classifier real pass both FPS the raw input) can compute the
+# longest FPS once and scope it here; the first FPS consumer inside the
+# scope takes its prefix instead of relaunching the sequential kernel.
+# Trace-time contextvar, same design as fused_eval. The scope must wrap a
+# model applied to EXACTLY the cloud the indices were computed from.
+
+_SHARED_FPS: contextvars.ContextVar = contextvars.ContextVar(
+    "adaptpoint_shared_fps", default=None)
+
+
+@contextlib.contextmanager
+def shared_first_fps(idx):
+    """Scope precomputed FPS indices (B, n) of the model input's cloud;
+    the model's FIRST subsampling FPS (npoint <= n, same batch) consumes
+    the prefix."""
+    token = _SHARED_FPS.set(idx)
+    try:
+        yield
+    finally:
+        _SHARED_FPS.reset(token)
+
+
+def shared_first_fps_idx(batch: int, npoint: int):
+    """The scoped prefix (B, npoint) if compatible, else None."""
+    idx = _SHARED_FPS.get()
+    if idx is None:
+        return None
+    if idx.shape[0] != batch or idx.shape[1] < npoint:
+        return None
+    return idx[:, :npoint]
