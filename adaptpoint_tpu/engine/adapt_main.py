@@ -68,6 +68,10 @@ def main(cfg):
     state = state.replace(opt_state=tx.init(state.params))
     train_step = make_train_step(model, tx, criterion, cfg)
     eval_step = make_eval_step(model, cfg)
+    train_step_scan = None
+    if int(cfg.get("scan_batches", 1) or 1) > 1:
+        from .cls_trainer import make_train_step_scan
+        train_step_scan = make_train_step_scan(model, tx, criterion, cfg)
 
     mode = cfg.get("mode", "adaptpoint")
     if cfg.get("pretrained_path") and mode in ("test", "val"):
@@ -143,10 +147,12 @@ def main(cfg):
                                       shuffle=True, drop_last=True,
                                       seed=seed + epoch)
             state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
-                train_step, state, fake_loader, mesh, cls_erng, lr, cfg)
+                train_step, state, fake_loader, mesh, cls_erng, lr, cfg,
+                train_step_scan=train_step_scan)
         else:
             state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
-                train_step, state, train_loader, mesh, cls_erng, lr, cfg)
+                train_step, state, train_loader, mesh, cls_erng, lr, cfg,
+                train_step_scan=train_step_scan)
 
         if (epoch + 1) % 10 == 0:
             _corruption_eval(cfg, eval_step, state, mesh, epoch)

@@ -109,6 +109,10 @@ def main(cfg) -> Optional[float]:
 
     train_step = make_train_step(model, tx, criterion, cfg)
     eval_step = make_eval_step(model, cfg)
+    train_step_scan = None
+    if int(cfg.get("scan_batches", 1) or 1) > 1:
+        from .cls_trainer import make_train_step_scan
+        train_step_scan = make_train_step_scan(model, tx, criterion, cfg)
 
     mode = cfg.get("mode", "train")
     if cfg.get("pretrained_path"):
@@ -137,7 +141,8 @@ def main(cfg) -> Optional[float]:
         lr = lr_fn(epoch - 1)
         rng, erng = jax.random.split(rng)
         state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
-            train_step, state, train_loader, mesh, erng, lr, cfg)
+            train_step, state, train_loader, mesh, erng, lr, cfg,
+            train_step_scan=train_step_scan)
 
         is_best = False
         if epoch % cfg.val_freq == 0:

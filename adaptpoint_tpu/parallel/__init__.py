@@ -1,1 +1,2 @@
-from .mesh import get_mesh, shard_batch, replicate, batch_sharding
+from .mesh import (batch_sharding, get_mesh, replicate, shard_batch,
+                   shard_batch_stack)

@@ -14,7 +14,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["get_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = ["get_mesh", "batch_sharding", "shard_batch", "replicate",
+           "shard_batch_stack"]
 
 
 def get_mesh(devices=None, axis_name: str = "dp") -> Mesh:
@@ -67,3 +68,22 @@ def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp",
 def replicate(tree, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return jax.device_put(tree, rep)
+
+
+def shard_batch_stack(mesh: Mesh, batches: list, axis_name: str = "dp") -> dict:
+    """Stack K same-shape batches into {(K, B, ...)} sharded on the BATCH
+    axis (axis 1) for the lax.scan multi-batch executors
+    (cls_trainer.make_train_step_scan) — axis 0 is the scan axis."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    out = {}
+    for k in batches[0]:
+        arr = np.stack([np.asarray(b[k]) for b in batches], axis=0)
+        if arr.ndim <= 1:
+            out[k] = jax.device_put(arr, NamedSharding(mesh, P()))
+            continue
+        if arr.shape[1] % mesh.size != 0:
+            raise ValueError(
+                f"shard_batch_stack: batch axis of '{k}' ({arr.shape[1]}) "
+                f"not divisible by the mesh size ({mesh.size})")
+        out[k] = jax.device_put(arr, sharding)
+    return out

@@ -105,17 +105,39 @@ def bench_adaptpoint_train():
 
     t_a = _slope(phase_a, gan_state)
 
-    # phase B input: generated clouds at N=2048 with the height feature
+    # phase B input: generated clouds at N=2048 with the height feature.
+    # With cfg.scan_batches: K > 1 the classifier epoch runs through the
+    # lax.scan multi-batch executor (one dispatch per K batches; measured
+    # per-batch-neutral at this protocol — the step is device-bound — but
+    # it amortizes host dispatch for fast-model/small-batch configs).
+    # t_b is the per-batch cost either way.
+    from adaptpoint_tpu.engine.cls_trainer import make_train_step_scan
     _, gen, _ = gan_step(gan_state, state, sb, key, hr)
-    fake = jnp.concatenate([gen, jnp.abs(gen[..., 1:2])], -1)
-    fb = shard_batch(mesh, {"x": np.asarray(fake), "y": batch["y"]})
+    fake = np.asarray(jnp.concatenate([gen, jnp.abs(gen[..., 1:2])], -1))
+    K = int(cfg.get("scan_batches", 1) or 1)
+    if K > 1:
+        scan_step = make_train_step_scan(model, tx, criterion, cfg)
+        from adaptpoint_tpu.parallel import shard_batch_stack
+        fbs = shard_batch_stack(
+            mesh, [{"x": np.roll(fake, k, axis=0),
+                    "y": np.roll(batch["y"], k, axis=0)}
+                   for k in range(K)])
 
-    @jax.jit
-    def phase_b(st):
-        st2, loss, _ = train_step(st, fb, key, lr)
-        return st2
+        @jax.jit
+        def phase_b(st):
+            st2, losses, _ = scan_step(st, fbs, key, lr)
+            return st2
 
-    t_b = _slope(phase_b, state)
+        t_b = _slope(phase_b, state) / K
+    else:
+        fb = shard_batch(mesh, {"x": fake, "y": batch["y"]})
+
+        @jax.jit
+        def phase_b(st):
+            st2, loss, _ = train_step(st, fb, key, lr)
+            return st2
+
+        t_b = _slope(phase_b, state)
     return B / (t_a + t_b), t_a, t_b
 
 

@@ -84,3 +84,50 @@ def test_resample_points_semantics():
     # no-op when already small enough
     small = pts[:, :512]
     assert resample_points(rng, small, 1024) is small
+
+
+def test_train_step_scan_matches_sequential():
+    """The lax.scan multi-batch executor == K sequential steps with the
+    same fold_in(rng, i) substream (bitwise on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.engine.cls_trainer import (
+        build_train_tools, init_state, make_train_step,
+        make_train_step_scan)
+
+    rng_np = np.random.default_rng(0)
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/synthetic/dgcnn-tiny.yaml"),
+             recursive=True)
+    model = build_model_from_cfg(cfg.model)
+    B, N = int(cfg.batch_size), int(cfg.num_points)
+    batches = [{"x": rng_np.standard_normal((B, N, 3)).astype(np.float32),
+                "y": rng_np.integers(0, cfg.num_classes, B).astype(np.int64)}
+               for _ in range(3)]
+    key = jax.random.PRNGKey(0)
+    criterion, tx, _ = build_train_tools(cfg, model)
+    state = init_state(cfg, model, tx, key, batches[0])
+    criterion, tx, _ = build_train_tools(cfg, model, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, criterion, cfg)
+    scan = make_train_step_scan(model, tx, criterion, cfg)
+    lr = jnp.float32(cfg.lr)
+    rng = jax.random.PRNGKey(7)
+
+    st_seq = state
+    seq_losses = []
+    for i, b in enumerate(batches):
+        st_seq, loss, _ = step(st_seq, {k: jnp.asarray(v)
+                                        for k, v in b.items()},
+                               jax.random.fold_in(rng, i), lr)
+        seq_losses.append(float(loss))
+
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+    st_scan, losses, _ = scan(state, stacked, rng, lr)
+    assert np.allclose(np.asarray(losses), np.asarray(seq_losses), atol=0)
+    for a, b in zip(jax.tree.leaves(st_seq.params),
+                    jax.tree.leaves(st_scan.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
