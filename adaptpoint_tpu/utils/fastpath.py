@@ -70,7 +70,12 @@ def shared_first_fps(idx):
 
 
 def shared_first_fps_idx(batch: int, npoint: int):
-    """The scoped prefix (B, npoint) if compatible, else None."""
+    """The scoped prefix (B, npoint) if compatible, else None. Honors the
+    same kill-switch as the nested-FPS identity
+    (``ADAPTPOINT_TPU_NESTED_FPS=0``) — both are instances of the FPS
+    prefix property."""
+    if os.environ.get("ADAPTPOINT_TPU_NESTED_FPS", "1") == "0":
+        return None
     idx = _SHARED_FPS.get()
     if idx is None:
         return None

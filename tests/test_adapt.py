@@ -125,3 +125,55 @@ def test_form_dataset_cls():
     s = ds.get(5)
     assert s["pos"].shape == (128, 3) and s["x"].shape == (128, 4)
     assert s["y"] == 1
+
+
+@pytest.mark.slow
+def test_gan_step_fps_shortcuts_equivalence(rng_np):
+    """gan_step output is identical with the FPS prefix shortcuts
+    (nested-FPS arange + shared raw-cloud FPS) on vs off — both are
+    instances of the greedy-FPS prefix identity."""
+    import os
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.parallel import get_mesh, shard_batch
+    from adaptpoint_tpu.engine.cls_trainer import (build_train_tools,
+                                                   init_state)
+    from adaptpoint_tpu.engine.adapt_trainer import build_gan, make_gan_step
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = EasyConfig()
+    cfg.load(os.path.join(
+        repo, "cfgs/synthetic/pointnext-tiny_adaptpoint.yaml"),
+        recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    mesh = get_mesh()
+    B, N = 8, 128
+    batch = {"x": rng_np.standard_normal((B, N, 4)).astype(np.float32),
+             "y": rng_np.integers(0, cfg.num_classes, B).astype(np.int64)}
+    key = jax.random.PRNGKey(0)
+    criterion, tx, _ = build_train_tools(cfg, model)
+    state = init_state(cfg, model, tx, key, batch)
+    generator, discriminator, tx_g, tx_d, gan_state = build_gan(
+        cfg, jnp.asarray(batch["x"][:2, :, :3]), key)
+    sb = shard_batch(mesh, batch)
+
+    outs = {}
+    old = os.environ.get("ADAPTPOINT_TPU_NESTED_FPS")
+    try:
+        for flag in ("1", "0"):
+            os.environ["ADAPTPOINT_TPU_NESTED_FPS"] = flag
+            gan_step = make_gan_step(generator, discriminator, tx_g, tx_d,
+                                     model, cfg)
+            st, gen, metrics = gan_step(gan_state, state, sb, key,
+                                        jnp.float32(3.0))
+            outs[flag] = (np.asarray(gen),
+                          {k: float(v) for k, v in metrics.items()})
+    finally:
+        if old is None:
+            os.environ.pop("ADAPTPOINT_TPU_NESTED_FPS", None)
+        else:
+            os.environ["ADAPTPOINT_TPU_NESTED_FPS"] = old
+    assert np.allclose(outs["1"][0], outs["0"][0], atol=1e-6)
+    for k in outs["1"][1]:
+        assert np.allclose(outs["1"][1][k], outs["0"][1][k], atol=1e-5), k
