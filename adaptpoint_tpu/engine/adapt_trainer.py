@@ -141,9 +141,15 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
             # outside the differentiated graph entirely (loss_real is a
             # constant w.r.t. g_params), so its backward costs nothing —
             # batching [fake || real] into one call was measured 9% SLOWER
-            # at B=32 because the input-grad then traverses both halves
+            # at B=32 because the input-grad then traverses both halves.
+            # The fake pass lowers through the custom-VJP fused SA stage
+            # (fastpath.fused_train): same eval-mode forward, backward
+            # recomputed in VMEM — the grouped (B,K,M,3+C) tensor never
+            # exists in either direction.
+            from ..utils.fastpath import fused_train
             fake_x = jnp.concatenate([gen, points[..., 3:in_channels]], -1)
-            logits_fake = cls_forward(cls_state, gen, fake_x)
+            with fused_train():
+                logits_fake = cls_forward(cls_state, gen, fake_x)
             # real pass is gradient-free (stop_gradient): lower it through
             # the forward-only fused eval SA kernel (utils/fastpath.py) —
             # the fake pass above needs d(logits)/d(gen) and keeps the

@@ -139,15 +139,16 @@ class SetAbstraction(nn.Module):
         return furthest_point_sample(p, npoint)
 
     def _fused_eval_ok(self, training: bool, order: str) -> bool:
-        """Gate for the forward-only fused eval SA kernel
-        (ops/pallas/saeval.py): gradient-free eval forwards only (callers
-        opt in via utils.fastpath.fused_eval — the differentiated
-        fake-cloud feedback pass must not), exactly two convs in the
-        standard bn+relu conv-norm-act form, dp_fj features, on a TPU
-        lowering (or the CPU interpreter test hook)."""
+        """Gate for the fused eval SA kernels (ops/pallas/saeval.py):
+        eval-mode (BN running stats) forwards with exactly two convs in the
+        standard bn+relu conv-norm-act form and dp_fj features, on a TPU
+        lowering (or the CPU interpreter test hook). Callers opt in via
+        utils.fastpath.fused_eval (forward-only kernel) or
+        utils.fastpath.fused_train (custom-VJP kernel — the differentiated
+        fake-cloud feedback pass)."""
         import os
-        from ...utils.fastpath import fused_eval_active
-        if training or not fused_eval_active():
+        from ...utils.fastpath import fused_eval_active, fused_train_active
+        if training or not (fused_eval_active() or fused_train_active()):
             return False
         if self.layers != 2 or self.feature_type != "dp_fj":
             return False
@@ -169,8 +170,14 @@ class SetAbstraction(nn.Module):
         parameter tree as the unfused path (skipconv + two ConvBlocks, via
         1-row dummy applications that XLA dead-code-eliminates), folds each
         eval-mode BatchNorm into its conv (y = W x * s + (beta - mu * s),
-        s = gamma / sqrt(var + eps)), and runs gather+MLP+max in VMEM."""
-        from ...ops.pallas.saeval import sa_eval_pallas
+        s = gamma / sqrt(var + eps)), and runs gather+MLP+max in VMEM.
+        Under fused_train (the differentiated fake-cloud feedback pass) the
+        custom-VJP variant runs instead — same forward, recompute-in-VMEM
+        backward."""
+        from ...ops.pallas.saeval import sa_eval_pallas, sa_train_pallas
+        from ...utils.fastpath import fused_train_active
+        kernel_fn = sa_train_pallas if fused_train_active() else \
+            sa_eval_pallas
 
         npoint = p.shape[1] // self.stride
         idx = self._sample_idx(p, npoint)
@@ -200,7 +207,7 @@ class SetAbstraction(nn.Module):
             cin = channels[i + 1]
         (w1, b1), (w2, b2) = folded
 
-        new_p, fi, out = sa_eval_pallas(
+        new_p, fi, out = kernel_fn(
             float(group_args.get("radius", 0.1)),
             int(group_args.get("nsample", 16)), p, idx, f, w1, b1, w2, b2,
             relative=group_args.get("relative_xyz", True),

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .ballgroup import _COMPILER_PARAMS, _round_up, _split3, _oh_matmul
 
-__all__ = ["sa_eval_pallas"]
+__all__ = ["sa_eval_pallas", "sa_train_pallas"]
 
 
 def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
@@ -183,6 +183,52 @@ def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     out_ref[0] = out_max
 
 
+def _sa_prep(xyz, query_idx, feats, w1, w2, splits: int):
+    """Shared fwd/bwd packing + tile pick (the backward must replay the
+    forward's exact tile/arithmetic configuration so the recomputed
+    per-slot outputs bit-match the saved max for the argmax mask)."""
+    B, N, _ = xyz.shape
+    M = query_idx.shape[1]
+    C = feats.shape[-1]
+    mid = w1.shape[1]
+    cout = w2.shape[1]
+    n_pad = _round_up(N, 128)
+
+    parts = [jax.lax.optimization_barrier(feats.astype(jnp.bfloat16))]
+    if splits >= 2:
+        r1 = feats - parts[0].astype(jnp.float32)
+        parts.append(jax.lax.optimization_barrier(r1.astype(jnp.bfloat16)))
+        if splits >= 3:
+            parts.append(jax.lax.optimization_barrier(
+                (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    sx = max(splits, 2)
+    x_parts = [jax.lax.optimization_barrier(xyz.astype(jnp.bfloat16))]
+    xr = xyz - x_parts[0].astype(jnp.float32)
+    x_parts.append(jax.lax.optimization_barrier(xr.astype(jnp.bfloat16)))
+    if sx >= 3:
+        x_parts.append(jax.lax.optimization_barrier(
+            (xr - x_parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
+    vcat = jnp.concatenate(x_parts + parts, axis=-1)
+
+    w_pad = _round_up(C + 3, 128)
+    # reserve the backward's extra blocks in the shared pick: the (n_pad,
+    # 3+C) gradient accumulator + param-grad accumulators
+    fixed = (n_pad * _round_up(vcat.shape[-1], 128) * 2       # vcat bf16
+             + 8 * n_pad * 4 + n_pad * 128 * 4                # xyzt + xyz
+             + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
+             + mid * _round_up(cout, 128) * 2                  # w2 bf16
+             + 2 * n_pad * w_pad * 4)                          # bwd acc
+    tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),
+                             _round_up(cout, 128), fixed)
+    if n_pad != N:
+        xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
+        vcat = jnp.pad(vcat, ((0, 0), (0, n_pad - N), (0, 0)))
+    else:
+        xyz_p = xyz
+    xyzt = jnp.transpose(xyz_p, (0, 2, 1))
+    return vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch
+
+
 def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
                    w1, b1, w2, b2, relative: bool = True,
                    normalize_dp: bool = False, splits: int = 1):
@@ -282,3 +328,352 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
 def _interpret() -> bool:
     import os
     return os.environ.get("ADAPTPOINT_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused SA stage (round 3): the same ball-group + folded-BN
+# MLP + max-pool forward, with a custom VJP whose backward RECOMPUTES the
+# selection and grouped activations tile-by-tile in VMEM and scatters the
+# input gradients through transposed one-hot matmuls — the (B,K,M,3+C)
+# grouped tensor never exists in EITHER direction. Built for the GAN step's
+# differentiated fake-cloud feedback pass (frozen classifier, eval-mode BN
+# folded by the caller), but the VJP also produces the true w1/b1/w2/b2
+# cotangents so the op is generally correct.
+#
+# Max-pool gradient tie-break: FIRST maximal slot per output channel
+# (torch.max argmax semantics — the same class ball_group_maxpool_pallas
+# documents); the recomputed per-slot outputs bit-match the forward because
+# the backward reuses the forward's exact tile/arithmetic configuration.
+# ---------------------------------------------------------------------------
+
+
+def _sa_bwd_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, out_ref, gout_ref, gfi_ref, gnew_ref,
+                   gfx_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref, *,
+                   radius: float, nsample: int, n_real: int, c: int,
+                   relative: bool, normalize_dp: bool, splits: int,
+                   g_batch: int, sx: int):
+    # grid (B, M//TM): gfx (1,N,3+C) revisited per-b (accumulate over t);
+    # gw*/gb* revisited over the WHOLE grid (accumulate over b and t).
+    n_pad = vcat_ref.shape[1]
+    tm = qidx_ref.shape[1]
+    K = nsample
+    G = g_batch
+    w = c + 3
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_fx():
+        gfx_ref[0] = jnp.zeros_like(gfx_ref[0])
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init_w():
+        gw1_ref[:] = jnp.zeros_like(gw1_ref[:])
+        gb1_ref[:] = jnp.zeros_like(gb1_ref[:])
+        gw2_ref[:] = jnp.zeros_like(gw2_ref[:])
+        gb2_ref[:] = jnp.zeros_like(gb2_ref[:])
+
+    lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    x_hi, x_mid, x_lo = _split3(xyz_ref[0])
+    oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
+    q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)
+
+    xt = xyzt_ref[0]
+    dx = q[:, 0:1] - xt[0:1, :]
+    dy = q[:, 1:2] - xt[1:2, :]
+    dz = q[:, 2:3] - xt[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
+
+    from .ballgroup import _inball_rank
+    rank, count = _inball_rank(inball, tm, n_pad)
+    ranked = jnp.where(inball, rank, 0)
+    oh_first_i = (ranked == 1).astype(jnp.int32)
+    oh_first_i = jnp.where(count > 0, oh_first_i,
+                           (lane == 0).astype(jnp.int32))
+    ohfb = oh_first_i.astype(jnp.bfloat16)
+
+    vcat = vcat_ref[0]
+    fo = 3 * sx
+
+    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    dp_scale = jnp.float32(1.0 / radius) if (relative and normalize_dp) \
+        else jnp.float32(1.0)
+    scale_row = jnp.where(colw < 3, dp_scale, jnp.float32(1.0))
+    if relative:
+        q_wide = (jnp.where(colw == 0, q[:, 0:1], 0.0)
+                  + jnp.where(colw == 1, q[:, 1:2], 0.0)
+                  + jnp.where(colw == 2, q[:, 2:3], 0.0))
+
+    w1 = w1_ref[:]
+    b1 = b1_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    cout = w2.shape[1]
+    out = out_ref[0]                        # (TM, cout) saved forward max
+    g_out = gout_ref[0].astype(jnp.float32)
+
+    rf = jnp.dot(ohfb, vcat, preferred_element_type=jnp.float32)
+    gf_feat = rf[:, fo:fo + c]
+    for _s in range(1, splits):
+        gf_feat = gf_feat + rf[:, fo + _s * c:fo + (_s + 1) * c]
+    gf_xyz = rf[:, 0:3]
+    for _s in range(1, sx):
+        gf_xyz = gf_xyz + rf[:, _s * 3:(_s + 1) * 3]
+    gg_f = jnp.concatenate([gf_xyz, gf_feat], axis=1)
+
+    matched = jnp.zeros((tm, cout), jnp.float32)
+    acc = jnp.zeros_like(gfx_ref[0])        # (N, 3+C) f32
+    gdp_sum = jnp.zeros((tm, 3), jnp.float32)
+    acc_w1 = jnp.zeros(w1.shape, jnp.float32)
+    acc_b1 = jnp.zeros((1, w1.shape[1]), jnp.float32)
+    acc_w2 = jnp.zeros(w2.shape, jnp.float32)
+    acc_b2 = jnp.zeros((1, cout), jnp.float32)
+    dn0 = (((0,), (0,)), ((), ()))          # contract dim 0 (rows)
+
+    for k0 in range(0, K, G):
+        kvals = (k0 + 1
+                 + lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0))
+        ohb = (ranked[None] == kvals).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)
+        # === exact replay of the forward's per-slot compute ===
+        r = jnp.dot(ohb, vcat, preferred_element_type=jnp.float32)
+        gfeat = r[:, fo:fo + c]
+        for _s in range(1, splits):
+            gfeat = gfeat + r[:, fo + _s * c:fo + (_s + 1) * c]
+        gxyz = r[:, 0:3]
+        for _s in range(1, sx):
+            gxyz = gxyz + r[:, _s * 3:(_s + 1) * 3]
+        gg = jnp.concatenate([gxyz, gfeat], axis=1)
+        pieces = [jnp.where(count > (k0 + gi),
+                            gg[gi * tm:(gi + 1) * tm], gg_f)
+                  for gi in range(G)]
+        gg = jnp.concatenate(pieces, axis=0) if G > 1 else pieces[0]
+        if relative:
+            gg = (gg - jnp.concatenate([q_wide] * G, axis=0)
+                  if G > 1 else gg - q_wide) * scale_row
+        ggb = gg.astype(jnp.bfloat16)
+        h_pre = jnp.dot(ggb, w1, preferred_element_type=jnp.float32) + b1
+        h = jnp.maximum(h_pre, 0.0)
+        hb = h.astype(jnp.bfloat16)
+        o = jnp.dot(hb, w2, preferred_element_type=jnp.float32) + b2
+
+        # === first-maximal-slot mask (sequential over slots) ===
+        masks = []
+        for gi in range(G):
+            ok = o[gi * tm:(gi + 1) * tm]
+            mk = jnp.where((ok == out) & (matched == 0.0),
+                           jnp.float32(1.0), jnp.float32(0.0))
+            matched = matched + mk
+            masks.append(mk)
+        mask = jnp.concatenate(masks, axis=0) if G > 1 else masks[0]
+        g_o = (jnp.concatenate([g_out] * G, axis=0)
+               if G > 1 else g_out) * mask
+        g_ob = g_o.astype(jnp.bfloat16)
+        # param grads
+        acc_w2 += lax.dot_general(hb, g_ob, dn0,
+                                  preferred_element_type=jnp.float32)
+        acc_b2 += jnp.sum(g_o, axis=0, keepdims=True)
+        g_h = lax.dot_general(
+            g_ob, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_h = jnp.where(h_pre > 0.0, g_h, 0.0)
+        g_hb = g_h.astype(jnp.bfloat16)
+        acc_w1 += lax.dot_general(ggb, g_hb, dn0,
+                                  preferred_element_type=jnp.float32)
+        acc_b1 += jnp.sum(g_h, axis=0, keepdims=True)
+        g_v = lax.dot_general(
+            g_hb, w1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (G*TM, w)
+        g_v = g_v * scale_row
+        if relative:
+            for gi in range(G):
+                gdp_sum = gdp_sum + g_v[gi * tm:(gi + 1) * tm, :3]
+        # pad slots (k >= count) gathered v[first]; their one-hots are zero
+        # and they never carry gradient (mask loses the first-occurrence
+        # tie to the original slot) EXCEPT the empty-ball rows, where slot
+        # 0 wins with a zero one-hot — route those rows via oh_first
+        g_vb = g_v.astype(jnp.bfloat16)
+        acc += lax.dot_general(ohb, g_vb, dn0,
+                               preferred_element_type=jnp.float32)
+        if k0 == 0:
+            empty = (count == 0).astype(jnp.float32)  # (TM,1)
+            gv0 = (g_v[0:tm] * empty).astype(jnp.bfloat16)
+            acc += lax.dot_general(ohfb, gv0, dn0,
+                                   preferred_element_type=jnp.float32)
+
+    # center-row contributions: d(new_xyz) (+ -sum_k g_dp if relative)
+    # and d(fi)
+    gq_xyz = gnew_ref[0].astype(jnp.float32)
+    if relative:
+        gq_xyz = gq_xyz - gdp_sum
+    gq = jnp.concatenate([gq_xyz, gfi_ref[0].astype(jnp.float32)], axis=1)
+    acc += _oh_matmul(oh_q.T, *_split3(gq))
+    gfx_ref[0] = gfx_ref[0] + acc
+    gw1_ref[:] = gw1_ref[:] + acc_w1
+    gb1_ref[:] = gb1_ref[:] + acc_b1
+    gw2_ref[:] = gw2_ref[:] + acc_w2
+    gb2_ref[:] = gb2_ref[:] + acc_b2
+
+
+def _sa_train_call(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
+                   relative, normalize_dp, splits):
+    B, N, _ = xyz.shape
+    M = query_idx.shape[1]
+    C = feats.shape[-1]
+    mid = w1.shape[1]
+    cout = w2.shape[1]
+    vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch = _sa_prep(
+        xyz, query_idx, feats, w1, w2, splits)
+    kernel = functools.partial(
+        _sa_eval_kernel, radius=float(radius), nsample=nsample, n_real=N,
+        c=C, relative=relative, normalize_dp=normalize_dp, splits=splits,
+        g_batch=g_batch, sx=sx)
+    new_xyz, fi, out = pl.pallas_call(
+        kernel,
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, vcat.shape[-1]), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tm, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, cout), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, cout), jnp.float32),
+        ),
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(query_idx.astype(jnp.int32)[:, :, None], vcat, xyzt, xyz_p,
+      w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32))
+    return new_xyz, fi, out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 9, 10, 11))
+def _sa_train_vjp(radius, nsample, xyz, query_idx, feats,
+                  w1, b1, w2, b2, relative, normalize_dp, splits):
+    return _sa_train_call(radius, nsample, xyz, query_idx, feats,
+                          w1, b1, w2, b2, relative, normalize_dp, splits)
+
+
+def sa_train_pallas(radius: float, nsample: int, xyz, query_idx, feats,
+                    w1, b1, w2, b2, relative: bool = True,
+                    normalize_dp: bool = False, splits: int = 1):
+    """Differentiable fused SA stage (see the section comment above).
+
+    Same forward as sa_eval_pallas; the custom VJP backward recomputes the
+    grouped activations in VMEM and emits gradients for xyz, feats and the
+    folded w1/b1/w2/b2. Max-pool cotangents route to the FIRST maximal
+    slot per channel (torch.max argmax class). Inputs may be bf16 under
+    the compute policy (cotangents are returned in the primal dtypes)."""
+    return _sa_train_vjp(radius, nsample, xyz, query_idx, feats,
+                         w1, b1, w2, b2, bool(relative),
+                         bool(normalize_dp), int(splits))
+
+
+def _sa_train_fwd(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
+                  relative, normalize_dp, splits):
+    new_xyz, fi, out = _sa_train_call(radius, nsample, xyz, query_idx,
+                                      feats, w1, b1, w2, b2, relative,
+                                      normalize_dp, splits)
+    res = (xyz, query_idx, feats, w1, b1, w2, b2, out)
+    return (new_xyz, fi, out), res
+
+
+def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits, res,
+                  grads):
+    xyz, query_idx, feats, w1, b1, w2, b2, out = res
+    g_new, g_fi, g_out = grads
+    B, N, _ = xyz.shape
+    M = query_idx.shape[1]
+    C = feats.shape[-1]
+    mid = w1.shape[1]
+    cout = w2.shape[1]
+    vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch = _sa_prep(
+        xyz, query_idx, feats, w1, w2, splits)
+    kernel = functools.partial(
+        _sa_bwd_kernel, radius=float(radius), nsample=nsample, n_real=N,
+        c=C, relative=relative, normalize_dp=normalize_dp, splits=splits,
+        g_batch=g_batch, sx=sx)
+    gfx, gw1, gb1, gw2, gb2 = pl.pallas_call(
+        kernel,
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, vcat.shape[-1]), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, cout), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, cout), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_pad, C + 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mid), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad, C + 3), jnp.float32),
+            jax.ShapeDtypeStruct((C + 3, mid), jnp.float32),
+            jax.ShapeDtypeStruct((1, mid), jnp.float32),
+            jax.ShapeDtypeStruct((mid, cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+        ),
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(query_idx.astype(jnp.int32)[:, :, None], vcat, xyzt, xyz_p,
+      w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32),
+      out, g_out, g_fi, g_new)
+    return (gfx[:, :N, :3].astype(xyz.dtype), None,
+            gfx[:, :N, 3:].astype(feats.dtype),
+            gw1.astype(w1.dtype), gb1.reshape(b1.shape).astype(b1.dtype),
+            gw2.astype(w2.dtype), gb2.reshape(b2.shape).astype(b2.dtype))
+
+
+_sa_train_vjp.defvjp(_sa_train_fwd, _sa_train_bwd)

@@ -43,6 +43,30 @@ def fused_eval_env() -> bool:
     return os.environ.get("ADAPTPOINT_TPU_EVAL_FUSED", "0") == "1"
 
 
+# --- differentiable fused SA scope ------------------------------------------
+# Like fused_eval, but for eval-mode forwards that ARE differentiated (the
+# GAN step's fake-cloud feedback pass): SetAbstraction lowers to the
+# custom-VJP fused stage (ops/pallas/saeval.sa_train_pallas) whose backward
+# recomputes in VMEM — the grouped (B,K,M,3+C) tensor never exists in
+# either direction.
+
+_FUSED_TRAIN: contextvars.ContextVar = contextvars.ContextVar(
+    "adaptpoint_fused_train", default=False)
+
+
+@contextlib.contextmanager
+def fused_train(enable: bool = True):
+    token = _FUSED_TRAIN.set(bool(enable))
+    try:
+        yield
+    finally:
+        _FUSED_TRAIN.reset(token)
+
+
+def fused_train_active() -> bool:
+    return bool(_FUSED_TRAIN.get())
+
+
 # --- shared-FPS scope -------------------------------------------------------
 # FPS is greedy, so fps(x, m) == fps(x, n)[:m] for m <= n (prefix property;
 # see ops.fps_prefix_idx). A caller that runs SEVERAL models over the SAME

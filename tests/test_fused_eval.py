@@ -84,3 +84,49 @@ def test_fused_eval_off_by_default(monkeypatch):
     variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
     model.apply(variables, pos, x, training=False)
     assert not called
+
+
+@pytest.mark.slow
+def test_fused_train_grad_matches_unfused(monkeypatch):
+    """fused_train() (custom-VJP fused SA) input gradients match the plain
+    differentiable eval path to activation grade — the GAN fake-pass
+    contract."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("ADAPTPOINT_TPU_KERNELS", raising=False)
+    from adaptpoint_tpu.utils.fastpath import fused_train
+    called = []
+    import adaptpoint_tpu.ops.pallas.saeval as saeval
+    orig = saeval.sa_train_pallas
+    monkeypatch.setattr(saeval, "sa_train_pallas",
+                        lambda *a, **k: called.append(1) or orig(*a, **k))
+    model = build_model_from_cfg(_tiny_cls_cfg())
+    rng = np.random.default_rng(0)
+    B, N = 2, 128
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), pos,
+        jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1), training=False)
+
+    def loss_plain(p):
+        x = jnp.concatenate([p, jnp.abs(p[..., 1:2])], -1)
+        return jnp.mean(model.apply(variables, p, x, training=False) ** 2)
+
+    def loss_fused(p):
+        with fused_train():
+            return loss_plain(p)
+
+    ref_l, ref_g = jax.value_and_grad(loss_plain)(pos)
+    got_l, got_g = jax.value_and_grad(loss_fused)(pos)
+    assert called, "fused_train did not route through sa_train_pallas"
+    assert np.allclose(float(ref_l), float(got_l), rtol=5e-2)
+    a, b = np.asarray(got_g), np.asarray(ref_g)
+    scale = max(np.abs(b).max(), 1e-4)
+    # bf16 activation class: the fused path runs bf16 gathers/matmuls vs
+    # the f32 unfused reference, and near-tie max slots may route a
+    # channel's cotangent to a different (equal-value) neighbor; element
+    # max-error ~0.1-0.2 relative to the gradient scale is expected. The
+    # precise per-op guard is tests/test_sa_train_fused.py (same-numerics
+    # reference).
+    assert np.abs(a - b).max() / scale < 0.25, np.abs(a - b).max() / scale
+    # the bulk of the field must agree tightly
+    assert np.median(np.abs(a - b)) / scale < 0.01
