@@ -255,3 +255,47 @@ def test_fused_eval_sa_golden():
     match = float(jnp.mean((jnp.argmax(got, -1) == jnp.argmax(ref, -1))
                            .astype(jnp.float32)))
     assert match == 1.0
+
+
+@pytest.mark.tpu
+def test_fused_train_sa_grad_golden():
+    """Custom-VJP fused SA (fastpath.fused_train) vs the plain
+    differentiable eval path on PointNeXt-S at the GAN fake-pass shape:
+    input gradients agree to activation grade."""
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.fastpath import fused_train
+
+    cfg = EasyConfig()
+    cfg.load("cfgs/scanobjectnn/pointnext-s.yaml", recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    rng = np.random.default_rng(0)
+    B, N = 8, 2048
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), pos,
+        jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], -1), training=False)
+
+    def loss_plain(p):
+        f = jnp.concatenate([p, jnp.abs(p[..., 1:2])], -1)
+        return jnp.mean(model.apply(variables, p, f, training=False) ** 2)
+
+    @jax.jit
+    def grad_plain(p):
+        return jax.value_and_grad(loss_plain)(p)
+
+    @jax.jit
+    def grad_fused(p):
+        def loss(p):
+            with fused_train():
+                return loss_plain(p)
+        return jax.value_and_grad(loss)(p)
+
+    ref_l, ref_g = grad_plain(pos)
+    got_l, got_g = grad_fused(pos)
+    assert np.allclose(float(ref_l), float(got_l), rtol=5e-2)
+    a, b = np.asarray(got_g), np.asarray(ref_g)
+    scale = max(np.abs(b).max(), 1e-4)
+    assert np.abs(a - b).max() / scale < 0.25, np.abs(a - b).max() / scale
+    assert np.median(np.abs(a - b)) / scale < 0.01
