@@ -340,7 +340,7 @@ def _bwd_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_dpfj_ref,
 
 
 def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
-               fixed_bytes: int = 0) -> tuple:
+               fixed_bytes: int = 0, k_real: int = None) -> tuple:
     """(tile, g_batch) fitting the ~16MB VMEM limit.
 
     Accounts for: the rank/mask working set (tm, n_pad); the k-parallel
@@ -374,8 +374,9 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
         out_tiles = 2 * k * tm * c_pad * 4   # K-deep dpfj block, dbl-buffered
         return fixed_bytes + work + sel + gat + out_tiles <= budget
 
+    k_div = k_real if k_real is not None else k
     for g in (8, 4, 2, 1):
-        if k % g != 0:
+        if k_div % g != 0:  # g must divide the REAL slot count
             continue
         for tm in (256, 128, 64, 32, 16, 8):
             if m % tm != 0 and tm > m:
@@ -752,7 +753,8 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
              + 8 * n_pad * 4 + n_pad * 128 * 4)
     # no K-deep output tiles, but 7 (tm, c_pad) out blocks (dbl-buffered)
     # + 4 running max/min/arg registers — k=4 models that footprint
-    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, 4, fixed)
+    # (k_real carries the true slot count for the g divisibility)
+    tm, g_batch = _pick_tm_g(M, n_pad, c_pad, 4, fixed, k_real=K)
     if n_pad != N:
         xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         fcat = jnp.pad(fcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -811,7 +813,8 @@ def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
     # no K-deep input block here (gradients reconstructed from amax/amin);
     # k=4 models the six (tm, c) in-blocks + the gcat/splits temporaries
     tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c + 3, 128), 4,
-                             2 * n_pad * _round_up(c + 3, 128) * 4)
+                             2 * n_pad * _round_up(c + 3, 128) * 4,
+                             k_real=K)
     kernel = functools.partial(_bwd_max_kernel, nsample=K, g_batch=g_batch,
                                splits=grad_splits)
     g_fx = pl.pallas_call(
