@@ -363,8 +363,10 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
     import os
     ov = os.environ.get("ADAPTPOINT_TPU_BG_TILE")
     if ov:
-        t, g = ov.split(",")
-        return int(t), int(g)
+        t, g = (int(v) for v in ov.split(","))
+        while m % t != 0 and t > 1:  # clamp to a divisor of M
+            t //= 2
+        return t, g
     budget = 24 * 1024 * 1024
 
     def fits(tm, g):
