@@ -574,9 +574,12 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
     # qidx (1,TM,1) i32; fcat (1,N,splits*C) bf16 (FEATURES only);
     # xyzt (1,3,N) f32; xyz (1,N,3) f32 exact block
     # outs: newxyz (1,TM,3), fi (1,TM,C), fmax (1,TM,C), fmin (1,TM,C),
-    #       amax (1,TM,C) i32, amin (1,TM,C) i32, idx (1,TM,K) i32
-    (newxyz_ref, fi_ref, fmax_ref, fmin_ref, amax_ref, amin_ref,
-     idx_ref) = outs
+    #       amax (1,TM,C) i32, amin (1,TM,C) i32
+    # No neighbor-index output: the forward consumer (PointsetGrouper)
+    # never reads it, and the backward recomputes the exact selection from
+    # the rank — dropping the per-k-group lane-column extraction matmul
+    # saved ~40% of the kernel's MXU passes.
+    (newxyz_ref, fi_ref, fmax_ref, fmin_ref, amax_ref, amin_ref) = outs
     n_pad = fcat_ref.shape[1]
     tm = qidx_ref.shape[1]
     K = nsample
@@ -610,14 +613,6 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
         rq_sum = rq_sum + rq[:, _s * c:(_s + 1) * c]
     fi_ref[0] = rq_sum
 
-    lane_row = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1).astype(
-        jnp.float32)
-    lr_hi = lane_row.astype(jnp.bfloat16)
-    lr_lo = (lane_row - lr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    lane_2 = jnp.concatenate([lr_hi, lr_lo], axis=0)
-
-    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
-    idxacc = jnp.zeros((tm, K), jnp.int32)
     fmax = jnp.full((tm, c), -jnp.inf, jnp.float32)
     fmin = jnp.full((tm, c), jnp.inf, jnp.float32)
     amax = jnp.zeros((tm, c), jnp.int32)
@@ -631,9 +626,6 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
     g_first = rf[:, :c]
     for _s in range(1, splits):
         g_first = g_first + rf[:, _s * c:(_s + 1) * c]
-    rsf = lax.dot_general(ohfb, lane_2, (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-    sel_first = (rsf[:, 0:1] + rsf[:, 1:2]).astype(jnp.int32)
 
     for k0 in range(0, K, G):
         kvals = (k0 + 1
@@ -644,9 +636,6 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
         g = r[:, :c]
         for _s in range(1, splits):
             g = g + r[:, _s * c:(_s + 1) * c]
-        rs = lax.dot_general(ohb, lane_2, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        sel_i = (rs[:, 0:1] + rs[:, 1:2]).astype(jnp.int32)
         for gi in range(G):
             k = k0 + gi
             gg = jnp.where(count > k, g[gi * tm:(gi + 1) * tm], g_first)
@@ -656,24 +645,26 @@ def _fwd_max_kernel(qidx_ref, fcat_ref, xyzt_ref, xyz_ref, *outs,
             und = gg < fmin
             fmin = jnp.where(und, gg, fmin)
             amin = jnp.where(und, k, amin)
-            idxacc = jnp.where(
-                kidx == k,
-                jnp.where(count > k, sel_i[gi * tm:(gi + 1) * tm],
-                          sel_first), idxacc)
     fmax_ref[0] = fmax
     fmin_ref[0] = fmin
     amax_ref[0] = amax
     amin_ref[0] = amin
-    idx_ref[0] = idxacc
 
 
-def _bwd_max_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_fmax_ref,
-                    g_fmin_ref, amax_ref, amin_ref, g_fx_ref, *,
-                    nsample: int, g_batch: int, splits: int):
-    # out: g_fx (1, N, 3+C) packed [xyz | feats], accumulated across tiles
+def _bwd_max_kernel(qidx_ref, xyzt_ref, xyz_ref, g_new_ref, g_fi_ref,
+                    g_fmax_ref, g_fmin_ref, amax_ref, amin_ref, g_fx_ref, *,
+                    radius: float, nsample: int, n_real: int,
+                    g_batch: int, splits: int):
+    # out: g_fx (1, N, 3+C) packed [xyz | feats], accumulated across tiles.
+    # The winning-slot one-hots are RECOMPUTED from the in-ball rank (same
+    # deterministic f32/i32 arithmetic as the forward — exact), so the
+    # forward needs no neighbor-index output. amax/amin route the max/min
+    # cotangents; pad slots (k >= count) never win under the strict
+    # comparisons, and the empty-ball row is folded into slot 0 by giving
+    # lane 0 rank 1 when the ball is empty (the CUDA memset rule).
     K = nsample
     G = g_batch
-    tm = idx_ref.shape[1]
+    tm = qidx_ref.shape[1]
     n_pad = g_fx_ref.shape[1]
     w = g_fx_ref.shape[2]
     c = w - 3
@@ -683,23 +674,33 @@ def _bwd_max_kernel(idx_ref, qidx_ref, g_new_ref, g_fi_ref, g_fmax_ref,
         g_fx_ref[0] = jnp.zeros_like(g_fx_ref[0])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    kidx = lax.broadcasted_iota(jnp.int32, (tm, K), 1)
     oh_q = (lane == qidx_ref[0, :, 0][:, None]).astype(jnp.bfloat16)
-    idx_all = idx_ref[0]
+
+    x_hi, x_mid, x_lo = _split3(xyz_ref[0])
+    q = _oh_matmul(oh_q, x_hi, x_mid, x_lo)
+    xt = xyzt_ref[0]
+    dx = q[:, 0:1] - xt[0:1, :]
+    dy = q[:, 1:2] - xt[1:2, :]
+    dz = q[:, 2:3] - xt[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    inball = (d2 < jnp.float32(radius) ** 2) & (lane < n_real)
+    rank, count = _inball_rank(inball, tm, n_pad)
+    ranked = jnp.where(inball, rank, 0)
+    # empty ball -> lane 0 carries slot 0 (rank 1)
+    ranked = jnp.where((count > 0) | (lane != 0), ranked, 1)
+
     g_fmax = g_fmax_ref[0]
     g_fmin = g_fmin_ref[0]
     amax = amax_ref[0]
     amin = amin_ref[0]
 
     acc = jnp.zeros_like(g_fx_ref[0])
-    colw = lax.broadcasted_iota(jnp.int32, (1, w), 1)
 
     for k0 in range(0, K, G):
-        sel = jnp.stack(
-            [jnp.max(jnp.where(kidx == k0 + gi, idx_all, 0), axis=1,
-                     keepdims=True) for gi in range(G)], axis=0)  # (G,TM,1)
-        oh = (lane[None] == sel).astype(jnp.bfloat16).reshape(
-            G * tm, n_pad)  # (G*TM, N)
+        kvals = (k0 + 1
+                 + lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0))
+        oh = (ranked[None] == kvals).astype(jnp.bfloat16).reshape(
+            G * tm, n_pad)
         rows = []
         for gi in range(G):
             k = k0 + gi
@@ -784,7 +785,7 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
             pl.BlockSpec(shape, lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM)
             for shape in [(1, tm, 3), (1, tm, C), (1, tm, C), (1, tm, C),
-                          (1, tm, C), (1, tm, C), (1, tm, K)]),
+                          (1, tm, C), (1, tm, C)]),
         out_shape=(
             jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, M, C), jnp.float32),
@@ -792,7 +793,6 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
             jax.ShapeDtypeStruct((B, M, C), jnp.float32),
             jax.ShapeDtypeStruct((B, M, C), jnp.int32),
             jax.ShapeDtypeStruct((B, M, C), jnp.int32),
-            jax.ShapeDtypeStruct((B, M, K), jnp.int32),
         ),
         compiler_params=_COMPILER_PARAMS,
     )(query_idx.astype(jnp.int32)[:, :, None], fcat, xyzt, xyz_p)
@@ -800,32 +800,43 @@ def _bg_max_call(radius, nsample, xyz, query_idx, feats, splits):
 
 
 def _bg_max_fwd(radius, nsample, xyz, query_idx, feats, splits, grad_splits):
-    new_xyz, fi, fmax, fmin, amax, amin, idx = _bg_max_call(
+    new_xyz, fi, fmax, fmin, amax, amin = _bg_max_call(
         radius, nsample, xyz, query_idx, feats, splits)
-    res = (xyz.shape, feats.shape[-1], query_idx, idx, amax, amin)
+    res = (xyz, feats.shape[-1], query_idx, amax, amin)
     return (new_xyz, fi, fmax, fmin), res
 
 
 def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
-    (b, n, _), c, query_idx, idx, amax, amin = res
+    xyz, c, query_idx, amax, amin = res
+    b, n, _ = xyz.shape
     g_new, g_fi, g_fmax, g_fmin = [g.astype(jnp.float32) for g in grads]
     K = nsample
     M = query_idx.shape[1]
     n_pad = _round_up(n, 128)
-    # no K-deep input block here (gradients reconstructed from amax/amin);
-    # k=4 models the six (tm, c) in-blocks + the gcat/splits temporaries
+    # no K-deep input block here (gradients reconstructed from amax/amin
+    # plus the rank recompute); k=4 models the six (tm, c) in-blocks, the
+    # xyz/xyzt blocks and the gcat/splits temporaries
     tm, g_batch = _pick_tm_g(M, n_pad, _round_up(c + 3, 128), 4,
-                             2 * n_pad * _round_up(c + 3, 128) * 4,
+                             2 * n_pad * _round_up(c + 3, 128) * 4
+                             + n_pad * 128 * 4 + 8 * n_pad * 4,
                              k_real=K)
-    kernel = functools.partial(_bwd_max_kernel, nsample=K, g_batch=g_batch,
+    if n_pad != n:
+        xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - n), (0, 0)))
+    else:
+        xyz_p = xyz
+    xyzt = jnp.transpose(xyz_p, (0, 2, 1))
+    kernel = functools.partial(_bwd_max_kernel, radius=float(radius),
+                               nsample=K, n_real=n, g_batch=g_batch,
                                splits=grad_splits)
     g_fx = pl.pallas_call(
         kernel,
         grid=(b, M // tm),
         in_specs=[
-            pl.BlockSpec((1, tm, K), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 1), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 3), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
@@ -844,7 +855,7 @@ def _bg_max_bwd(radius, nsample, splits, grad_splits, res, grads):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c + 3), jnp.float32),
         compiler_params=_COMPILER_PARAMS,
-    )(idx, query_idx.astype(jnp.int32)[:, :, None], g_new, g_fi,
+    )(query_idx.astype(jnp.int32)[:, :, None], xyzt, xyz_p, g_new, g_fi,
       g_fmax, g_fmin, amax, amin)
     return g_fx[:, :n, :3], None, g_fx[:, :n, 3:]
 
