@@ -91,6 +91,68 @@ class ModelNet40Ply2048:
 
 
 @DATASETS.register_module()
+class ModelNet:
+    """ModelNet40 normal-resampled txt release (parity:
+    openpoints/dataset/modelnet/modelnet40_normal_resampled_loader.py:51-124
+    ModelNet): per-shape comma-separated txt of xyz+normal under
+    data_dir/modelnet40_normal_resampled/, modelnet{10,40}_shape_names.txt
+    catalog + modelnet{10,40}_{train,test}.txt split lists; train-time
+    point shuffle; x = normals when use_normals (concatenated to pos||x
+    [||heights] after transforms, matching the reference tail)."""
+
+    gravity_dim = 1
+
+    def __init__(self, data_dir="./data", num_points=1024, num_classes=40,
+                 use_normals=False, split="train", transform=None, **kwargs):
+        root = osp.join(data_dir, "modelnet40_normal_resampled")
+        if not osp.isdir(root):
+            root = data_dir  # already pointed at the release dir
+        self.root = root
+        self.num_points = num_points
+        self.num_classes = num_classes
+        self.use_normals = use_normals
+        self.partition = "train" if split.lower() == "train" else "test"
+        self.transform = transform
+        tag = "modelnet10" if num_classes == 10 else "modelnet40"
+        catfile = osp.join(root, f"{tag}_shape_names.txt")
+        with open(catfile) as f:
+            self.classes = [ln.strip() for ln in f if ln.strip()]
+        cls_of = {c: i for i, c in enumerate(self.classes)}
+        with open(osp.join(root, f"{tag}_{self.partition}.txt")) as f:
+            ids = [ln.strip() for ln in f if ln.strip()]
+        shape_names = ["_".join(i.split("_")[:-1]) for i in ids]
+        self.paths = [osp.join(root, shape_names[i], ids[i] + ".txt")
+                      for i in range(len(ids))]
+        self.labels = np.asarray([cls_of[n] for n in shape_names], np.int64)
+        logging.info("ModelNet(normal-resampled) %s: %d shapes",
+                     split, len(self.paths))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        raw = np.loadtxt(self.paths[idx], delimiter=",").astype(np.float32)
+        raw = raw[: self.num_points]  # resampled release is FPS-ordered
+        if self.partition == "train":
+            order = rng.permutation(raw.shape[0])
+            raw = raw[order]
+        data = {"pos": raw[:, 0:3], "y": np.int64(self.labels[idx])}
+        if self.use_normals:
+            data["x"] = raw[:, 3:6]
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        if self.use_normals:
+            data["x"] = np.concatenate([data["pos"], data["x"]], axis=1)
+        if "heights" in data:
+            base = data.get("x", data["pos"]) if self.use_normals else data["pos"]
+            data["x"] = np.concatenate([base, data["heights"]], axis=1)
+            data.pop("heights")
+        elif not self.use_normals:
+            data["x"] = data["pos"]
+        return data
+
+
+@DATASETS.register_module()
 class ModelNetC:
     """ModelNet-C corruption test splits ``{corruption}_{level}.h5``."""
 

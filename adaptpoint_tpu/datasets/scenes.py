@@ -147,19 +147,36 @@ class SemanticKITTI:
         return out
 
 
-@DATASETS.register_module()
+@DATASETS.register_module(name="ShapeNet")
+@DATASETS.register_module(name="ShapeNet55")
 class ShapeNet55:
-    """ShapeNet-55 clouds for MAE pretraining (npy/npz per shape)."""
+    """ShapeNet-55 clouds for MAE pretraining (npy/npz per shape).
+
+    Also registered as ``ShapeNet`` — the reference's NAME for this loader
+    (openpoints/dataset/shapenet/shapenet55.py:11). When the reference's
+    on-disk layout is present ({split}.txt file list + shapenet_pc/ dir of
+    per-shape npy), it is used; otherwise shapes are globbed from
+    data_root[/split]. ``n_points`` is accepted as the reference's kwarg
+    spelling of num_points."""
 
     num_classes = 55
     gravity_dim = 1
 
     def __init__(self, data_root: str = "data/ShapeNet55", split: str = "train",
-                 num_points: int = 1024, transform=None, **kwargs):
+                 num_points: int = 1024, n_points: int = None, transform=None,
+                 **kwargs):
         self.split = split
-        self.num_points = num_points
+        self.num_points = int(n_points) if n_points is not None else num_points
         self.transform = transform
-        self.files = sorted(glob.glob(osp.join(data_root, split, "*.np[yz]")))
+        subset = "train" if split == "train" else "test"
+        list_file = osp.join(data_root, f"{subset}.txt")
+        pc_dir = osp.join(data_root, "shapenet_pc")
+        if osp.isfile(list_file) and osp.isdir(pc_dir):
+            with open(list_file) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+            self.files = [osp.join(pc_dir, n) for n in names]
+        else:
+            self.files = sorted(glob.glob(osp.join(data_root, split, "*.np[yz]")))
         if not self.files:
             self.files = sorted(glob.glob(osp.join(data_root, "*.np[yz]")))
         if not self.files:

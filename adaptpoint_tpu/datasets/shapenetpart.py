@@ -214,3 +214,62 @@ class ShapeNetPartNormal(ShapeNetPart):
         data.pop("heights", None)
         data.pop("normals", None)
         return data
+
+
+@DATASETS.register_module()
+class ShapeNetPartCurve(ShapeNetPart):
+    """CurveNet's part-seg loader over the same h5 shards (parity:
+    shapenetpart.py:326-410 ShapeNetPartCurve): train-time shuffle but NO
+    translate augmentation, optional single-category class_choice filter,
+    and x = heights only (no pos channels)."""
+
+    def __init__(self, data_root="data/ShapeNetPart/hdf5_data",
+                 num_points=2048, split="train", class_choice=None,
+                 transform=None, **kwargs):
+        # literal splits (no train->trainval remap, unlike ShapeNetPart):
+        # the reference's load_data_partseg globs *train* only for 'train'
+        self.partition = split
+        self.num_points = num_points
+        self.transform = transform
+        patterns = {"trainval": ["*train*.h5", "*val*.h5"],
+                    "train": ["*train*.h5"], "val": ["*val*.h5"],
+                    "test": ["*test*.h5"]}[split]
+        files = sorted(sum((glob.glob(osp.join(data_root, "hdf5_data", p))
+                            for p in patterns), []))
+        if not files:
+            files = sorted(sum((glob.glob(osp.join(data_root, p))
+                                for p in patterns), []))
+        if not files:
+            raise FileNotFoundError(f"no shapenetpart h5 under {data_root}")
+        data, label, seg = zip(*[_load_h5_seg(f) for f in files])
+        self.data = np.concatenate(data)
+        self.label = np.concatenate(label)
+        self.seg = np.concatenate(seg)
+        logging.info("ShapeNetPartCurve %s: %s", split, self.data.shape)
+        cat2id = {c: i for i, c in enumerate(
+            ["airplane", "bag", "cap", "car", "chair", "earphone", "guitar",
+             "knife", "lamp", "laptop", "motor", "mug", "pistol", "rocket",
+             "skateboard", "table"])}
+        self.seg_num_all, self.seg_start_index = 50, 0
+        if class_choice is not None:
+            cid = cat2id[class_choice]
+            keep = self.label == cid
+            self.data, self.label, self.seg = (
+                self.data[keep], self.label[keep], self.seg[keep])
+            self.seg_num_all = SEG_NUM[cid]
+            self.seg_start_index = [0, 4, 6, 8, 12, 16, 19, 22, 24, 28, 30,
+                                    36, 38, 41, 44, 47][cid]
+
+    def get(self, idx: int, rng: np.random.Generator):
+        pc = np.array(self.data[idx][: self.num_points], np.float32)
+        seg = np.array(self.seg[idx][: self.num_points], np.int64)
+        if "train" in self.partition:
+            order = rng.permutation(pc.shape[0])
+            pc, seg = pc[order], seg[order]
+        data = {"pos": pc, "y": seg, "cls": np.int64(self.label[idx])}
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        if "heights" in data:
+            data["x"] = data["heights"]
+            data.pop("heights")
+        return data

@@ -113,7 +113,7 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
         points = batch["x"]  # (B, N, C) channels-last, xyz in [..,:3]
         label = batch["y"]
         input_pc = points[..., :3]
-        r_wolf, r_gum, r_d1, r_d2, r_d3 = jax.random.split(rng, 5)
+        r_wolf, r_gum, r_d1, r_d2 = jax.random.split(rng, 4)
 
         # ONE sequential FPS of the raw cloud serves every consumer that
         # subsamples it this step (prefix property, ops.fps_prefix_idx):
@@ -183,7 +183,12 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
             # state is input-independent (it only reads the weights), the
             # dropout masks are per-row independent either way, and there
             # is no BatchNorm in D — so the batched pass computes the same
-            # losses while amortizing the D launch/bwd structure.
+            # losses while amortizing the D launch/bwd structure. One
+            # deliberate dynamics difference: the reference's two sequential
+            # applies each advance u/v, so its SN estimate takes two power
+            # iterations per d-step vs our one — the per-apply estimate is
+            # identical, only the (already-converged) u/v trajectory warms
+            # up at half rate.
             bsz = input_pc.shape[0]
             both = jnp.concatenate([input_pc, gen_detached], axis=0)
             prob, d_up = discriminator.apply(

@@ -282,8 +282,8 @@ def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None,
         shp = tuple(np.asarray(batch["x"]).shape)
         if first_shape is None:
             first_shape = shp
-        if shp != first_shape or len(buf) == scan_k:
-            state, rng = flush(state, rng)
+        if shp != first_shape:  # buf can never hold scan_k here: it is
+            state, rng = flush(state, rng)  # flushed right after append
             first_shape = shp
         buf.append(batch)
         if len(buf) == scan_k:

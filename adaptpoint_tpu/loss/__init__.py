@@ -90,6 +90,56 @@ class BCEWithLogitsLoss:
                         jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
+@LOSS.register_module(name="BCELogits")
+class BCELogits:
+    """BCE-with-logits against one-hot integer targets (parity:
+    loss/build.py:81-92 BCELogits — the reference flattens [N,C,...] to
+    channel-last rows then one-hots; our logits are channels-last already)."""
+
+    def __init__(self, **kwargs):
+        self.criterion = BCEWithLogitsLoss()
+
+    def __call__(self, logits, targets):
+        if logits.ndim > 2:
+            logits = logits.reshape(-1, logits.shape[-1])
+        targets = targets.reshape(-1)
+        onehot = jnn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
+        return self.criterion(logits, onehot)
+
+
+@LOSS.register_module(name="LabelSmoothingCrossEntropy")
+class LabelSmoothingCrossEntropy:
+    """timm-style NLL with label smoothing (parity: loss/cross_entropy.py:13
+    — confidence*nll + smoothing*mean(-logprobs); note the eps/n uniform
+    term differs from SmoothCrossEntropy's eps/(n-1) off-class form)."""
+
+    def __init__(self, label_smoothing: float = 0.1, **kwargs):
+        self.smoothing = label_smoothing
+        self.confidence = 1.0 - label_smoothing
+
+    def __call__(self, logits, labels):
+        if logits.ndim > 2:
+            logits = logits.reshape(-1, logits.shape[-1])
+        labels = labels.reshape(-1)
+        logp = jnn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        smooth = -logp.mean(axis=-1)
+        return jnp.mean(self.confidence * nll + self.smoothing * smooth)
+
+
+@LOSS.register_module(name="SoftTargetCrossEntropy")
+class SoftTargetCrossEntropy:
+    """CE against a soft target distribution (parity:
+    loss/cross_entropy.py:31 — used with mixup/cutmix label mixing)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, logits, target):
+        logp = jnn.log_softmax(logits, axis=-1)
+        return jnp.mean(jnp.sum(-target.astype(logp.dtype) * logp, axis=-1))
+
+
 @LOSS.register_module(name="BCELoss")
 class BCELoss:
     """Binary CE on probabilities (parity: torch.nn.BCELoss used as the GAN
@@ -148,6 +198,74 @@ class Poly1CrossEntropy:
         probs = jax.nn.softmax(logits_f, axis=-1)
         pt = jnp.take_along_axis(probs, labels_f[:, None], axis=-1)[:, 0]
         return self.ce(logits_f, labels_f) + self.eps * jnp.mean(1.0 - pt)
+
+
+@LOSS.register_module(name="Poly1FocalLoss")
+class Poly1FocalLoss:
+    """Poly-1 focal loss (parity: loss/build.py:179-253 — sigmoid focal BCE
+    plus the epsilon*(1-pt)^(gamma+1) poly term; labels one-hotted unless
+    label_is_onehot). Channels-last: seg labels (B,N) one-hot to (B,N,C)
+    matching our (B,N,C) logits (the reference transposes its [N,C,...])."""
+
+    def __init__(self, epsilon: float = 1.0, alpha: float = 0.25,
+                 gamma: float = 2.0, reduction: str = "mean", weight=None,
+                 pos_weight=None, label_is_onehot: bool = False, **kwargs):
+        self.epsilon = epsilon
+        self.alpha = alpha
+        self.gamma = gamma
+        self.reduction = reduction
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight)
+        self.label_is_onehot = label_is_onehot
+
+    def __call__(self, logits, labels):
+        num_classes = logits.shape[-1]
+        p = jax.nn.sigmoid(logits)
+        if not self.label_is_onehot:
+            labels = jnn.one_hot(labels, num_classes, dtype=logits.dtype)
+        labels = labels.astype(logits.dtype)
+        # binary_cross_entropy_with_logits(reduction="none"):
+        # -[pw*t*log σ(x) + (1-t)*log(1-σ(x))], log σ(x) = -softplus(-x)
+        pw = 1.0 if self.pos_weight is None else self.pos_weight
+        ce = (pw * labels * jnn.softplus(-logits) +
+              (1 - labels) * jnn.softplus(logits))
+        if self.weight is not None:
+            ce = ce * self.weight
+        pt = labels * p + (1 - labels) * (1 - p)
+        fl = ce * (1 - pt) ** self.gamma
+        if self.alpha >= 0:
+            a_t = self.alpha * labels + (1 - self.alpha) * (1 - labels)
+            fl = a_t * fl
+        poly1 = fl + self.epsilon * (1 - pt) ** (self.gamma + 1)
+        if self.reduction == "mean":
+            return poly1.mean()
+        if self.reduction == "sum":
+            return poly1.sum()
+        return poly1
+
+
+@LOSS.register_module(name="MultiShapeCrossEntropy")
+class MultiShapeCrossEntropy:
+    """Per-shape-category criterion over MultiSegHead's list of per-category
+    logits (parity: loss/build.py:257-269 — the reference Python-loops the
+    batch and indexes the head list by each item's shape label; we compute
+    every head's per-item loss with a static head loop + vmap and select by
+    one-hot, which is jit-compatible and mathematically identical)."""
+
+    def __init__(self, criterion_args, **kwargs):
+        self.criterion = build_criterion_from_cfg(criterion_args)
+
+    def __call__(self, logits_all_shapes, points_labels, shape_labels):
+        shape_labels = shape_labels.reshape(-1)
+        per_head = []
+        for logits in logits_all_shapes:
+            # vmap over the batch: each item's scalar loss, as if called
+            # criterion(logits[i:i+1], labels[i:i+1]) like the reference
+            per_head.append(jax.vmap(self.criterion)(logits, points_labels))
+        stacked = jnp.stack(per_head, axis=0)          # (H, B)
+        sel = jnn.one_hot(shape_labels, stacked.shape[0],
+                          dtype=stacked.dtype)          # (B, H)
+        return jnp.mean(jnp.sum(sel.T * stacked, axis=0))
 
 
 @LOSS.register_module(name="DistillLoss")

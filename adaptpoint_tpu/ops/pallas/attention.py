@@ -42,7 +42,10 @@ def _pick_tile(m: int, n: int, budget_bytes: int, n_bufs: int) -> int:
     import os
     ov = os.environ.get("ADAPTPOINT_TPU_ATTN_TM")
     if ov:
-        return int(ov)
+        t = int(ov)
+        while m % t != 0 and t > 1:  # clamp to a divisor of m: the grid is
+            t //= 2                  # (bh, m // tm) and would drop rows
+        return t
     for tm in (1024, 512, 256, 128, 64, 32, 16, 8):
         if m % tm == 0 and n_bufs * tm * n * 4 <= budget_bytes:
             return tm

@@ -34,17 +34,21 @@ from .ballgroup import _COMPILER_PARAMS, _round_up, _split3, _oh_matmul
 __all__ = ["sa_eval_pallas", "sa_train_pallas"]
 
 
-def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
+def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes, nsample):
     """(tile, g_batch) under the VMEM budget, modeling the MLP buffers.
     Same round-3 recalibration as ballgroup._pick_tm_g (bf16 one-hot +
     compare temp ~3B/elem; the old 7B estimate forced tiny low-utilization
-    tiles). ``ADAPTPOINT_TPU_SAEVAL_TILE=tm,g`` overrides."""
+    tiles). g must divide nsample: the kernel's k-loop is ``range(0, K, G)``
+    and a non-divisor would overrun K, silently max-pooling neighbors past
+    the ball-query cap. ``ADAPTPOINT_TPU_SAEVAL_TILE=tm,g`` overrides."""
     import os
     ov = os.environ.get("ADAPTPOINT_TPU_SAEVAL_TILE")
     if ov:
         t, g = (int(v) for v in ov.split(","))
         while m % t != 0 and t > 1:  # clamp to a divisor of M
             t //= 2
+        while nsample % g != 0 and g > 1:  # clamp to a divisor of K
+            g //= 2
         return t, g
     budget = 24 * 1024 * 1024
 
@@ -59,6 +63,8 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes):
     # (B=128 PointNeXt-S sweep: (256,4) 16.4k > (256,8) 15.4k > (128,8)
     # 13.2k clouds/s — the smaller stacked one-hot overlaps better)
     for g in (4, 8, 2, 1):
+        if nsample % g != 0:
+            continue
         for tm in (256, 128, 64, 32, 16, 8):
             if m % tm != 0 and tm > m:
                 continue
@@ -187,10 +193,14 @@ def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     out_ref[0] = out_max
 
 
-def _sa_prep(xyz, query_idx, feats, w1, w2, splits: int):
+def _sa_prep(xyz, query_idx, feats, w1, w2, splits: int, nsample: int,
+             bwd_acc: bool = True):
     """Shared fwd/bwd packing + tile pick (the backward must replay the
     forward's exact tile/arithmetic configuration so the recomputed
-    per-slot outputs bit-match the saved max for the argmax mask)."""
+    per-slot outputs bit-match the saved max for the argmax mask).
+    ``bwd_acc=False`` drops the backward-accumulator VMEM reservation for
+    the forward-only eval path (the only term that differed between this
+    and the hand-copied variant sa_eval_pallas used to carry)."""
     B, N, _ = xyz.shape
     M = query_idx.shape[1]
     C = feats.shape[-1]
@@ -220,10 +230,11 @@ def _sa_prep(xyz, query_idx, feats, w1, w2, splits: int):
     fixed = (n_pad * _round_up(vcat.shape[-1], 128) * 2       # vcat bf16
              + 8 * n_pad * 4 + n_pad * 128 * 4                # xyzt + xyz
              + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
-             + mid * _round_up(cout, 128) * 2                  # w2 bf16
-             + 2 * n_pad * w_pad * 4)                          # bwd acc
+             + mid * _round_up(cout, 128) * 2)                 # w2 bf16
+    if bwd_acc:
+        fixed += 2 * n_pad * w_pad * 4                         # bwd acc
     tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),
-                             _round_up(cout, 128), fixed)
+                             _round_up(cout, 128), fixed, nsample)
     if n_pad != N:
         xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
         vcat = jnp.pad(vcat, ((0, 0), (0, n_pad - N), (0, 0)))
@@ -249,39 +260,8 @@ def sa_eval_pallas(radius: float, nsample: int, xyz, query_idx, feats,
     K = nsample
     mid = w1.shape[1]
     cout = w2.shape[1]
-    n_pad = _round_up(N, 128)
-
-    parts = [jax.lax.optimization_barrier(feats.astype(jnp.bfloat16))]
-    if splits >= 2:
-        r1 = feats - parts[0].astype(jnp.float32)
-        parts.append(jax.lax.optimization_barrier(r1.astype(jnp.bfloat16)))
-        if splits >= 3:
-            parts.append(jax.lax.optimization_barrier(
-                (r1 - parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
-    # xyz bf16 splits (2 = ~16-bit mantissa, activation grade for dp) packed
-    # AHEAD of the feature splits: one one-hot matmul gathers both
-    sx = max(splits, 2)
-    x_parts = [jax.lax.optimization_barrier(xyz.astype(jnp.bfloat16))]
-    xr = xyz - x_parts[0].astype(jnp.float32)
-    x_parts.append(jax.lax.optimization_barrier(xr.astype(jnp.bfloat16)))
-    if sx >= 3:
-        x_parts.append(jax.lax.optimization_barrier(
-            (xr - x_parts[1].astype(jnp.float32)).astype(jnp.bfloat16)))
-    vcat = jnp.concatenate(x_parts + parts, axis=-1)
-
-    w_pad = _round_up(C + 3, 128)
-    fixed = (n_pad * _round_up(vcat.shape[-1], 128) * 2       # vcat bf16
-             + 8 * n_pad * 4 + n_pad * 128 * 4                # xyzt + xyz
-             + (C + 3) * _round_up(mid, 128) * 2               # w1 bf16
-             + mid * _round_up(cout, 128) * 2)                 # w2 bf16
-    tm, g_batch = _pick_tm_g(M, n_pad, w_pad, _round_up(mid, 128),
-                             _round_up(cout, 128), fixed)
-    if n_pad != N:
-        xyz_p = jnp.pad(xyz, ((0, 0), (0, n_pad - N), (0, 0)))
-        vcat = jnp.pad(vcat, ((0, 0), (0, n_pad - N), (0, 0)))
-    else:
-        xyz_p = xyz
-    xyzt = jnp.transpose(xyz_p, (0, 2, 1))
+    vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch = _sa_prep(
+        xyz, query_idx, feats, w1, w2, splits, nsample, bwd_acc=False)
 
     kernel = functools.partial(
         _sa_eval_kernel, radius=float(radius), nsample=K, n_real=N, c=C,
@@ -527,7 +507,7 @@ def _sa_train_call(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
     mid = w1.shape[1]
     cout = w2.shape[1]
     vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch = _sa_prep(
-        xyz, query_idx, feats, w1, w2, splits)
+        xyz, query_idx, feats, w1, w2, splits, nsample)
     kernel = functools.partial(
         _sa_eval_kernel, radius=float(radius), nsample=nsample, n_real=N,
         c=C, relative=relative, normalize_dp=normalize_dp, splits=splits,
@@ -615,7 +595,7 @@ def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits, res,
     mid = w1.shape[1]
     cout = w2.shape[1]
     vcat, xyz_p, xyzt, n_pad, sx, tm, g_batch = _sa_prep(
-        xyz, query_idx, feats, w1, w2, splits)
+        xyz, query_idx, feats, w1, w2, splits, nsample)
     kernel = functools.partial(
         _sa_bwd_kernel, radius=float(radius), nsample=nsample, n_real=N,
         c=C, relative=relative, normalize_dp=normalize_dp, splits=splits,
