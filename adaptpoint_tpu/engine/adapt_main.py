@@ -90,7 +90,15 @@ def main(cfg):
     generator, discriminator, tx_g, tx_d, gan_state = build_gan(
         cfg, example_cloud, gan_rng)
     gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, model, cfg)
-    fused = bool(cfg.get("adaptpoint_fused", False))
+    # modelnet variant: phase B runs RSMix over the FAKE loader when
+    # rsmix_params is set (train_autoaug_modelnet.py:396-398); rsmix's
+    # host-side mixing isn't expressible inside the fused on-device step
+    use_rsmix = cfg.get("rsmix_params") is not None
+    train_step_mixed = None
+    if use_rsmix:
+        from .corrupt_main import make_train_step_mixed
+        train_step_mixed = make_train_step_mixed(model, tx, criterion, cfg)
+    fused = bool(cfg.get("adaptpoint_fused", False)) and not use_rsmix
     if fused:
         from .adapt_trainer import make_fused_adapt_step
         fused_step = make_fused_adapt_step(generator, discriminator, tx_g,
@@ -146,15 +154,26 @@ def main(cfg):
             fake_loader = NumpyLoader(fake_dataset, cfg.batch_size,
                                       shuffle=True, drop_last=True,
                                       seed=seed + epoch)
-            state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
-                train_step, state, fake_loader, mesh, cls_erng, lr, cfg,
-                train_step_scan=train_step_scan)
+            if train_step_mixed is not None:
+                from .corrupt_main import train_one_epoch_rsmix
+                state, train_loss, train_macc, train_oa, _, _ = \
+                    train_one_epoch_rsmix(train_step_mixed, state,
+                                          fake_loader, mesh, cls_erng, lr,
+                                          cfg)
+            else:
+                state, train_loss, train_macc, train_oa, _, _ = \
+                    train_one_epoch(train_step, state, fake_loader, mesh,
+                                    cls_erng, lr, cfg,
+                                    train_step_scan=train_step_scan)
         else:
             state, train_loss, train_macc, train_oa, _, _ = train_one_epoch(
                 train_step, state, train_loader, mesh, cls_erng, lr, cfg,
                 train_step_scan=train_step_scan)
 
-        if (epoch + 1) % 10 == 0:
+        # sweep cadence: every 10 epochs (train_autoaug.py:401); the
+        # modelnet variant sweeps every 20 (train_autoaug_modelnet.py:412)
+        sweep_every = 20 if mode == "adaptpoint_modelnet" else 10
+        if (epoch + 1) % sweep_every == 0:
             _corruption_eval(cfg, eval_step, state, mesh, epoch)
 
         is_best = False
