@@ -70,25 +70,28 @@ def corrupt_rotate(pc, level, rng):
     return (pc @ (Rz @ Ry @ Rx).T).astype(np.float32)
 
 
-def corrupt_dropout_global(pc, level, rng):
+def _dropout_global_idx(pc, level, rng):
+    """Row indices (kept + repeat-pad) for global dropout."""
     ratio = [0.25, 0.375, 0.5, 0.625, 0.75][level]
     keep = len(pc) - int(len(pc) * ratio)
     idx = rng.choice(len(pc), keep, replace=False)
-    out = pc[idx]
-    # pad back to fixed shape by repeating (readers slice :num_points)
     pad = rng.choice(keep, len(pc) - keep, replace=True)
-    return np.concatenate([out, out[pad]], 0)
+    return np.concatenate([idx, idx[pad]], 0)
 
 
-def corrupt_dropout_local(pc, level, rng):
+def corrupt_dropout_global(pc, level, rng):
+    return pc[_dropout_global_idx(pc, level, rng)]
+
+
+def _dropout_local_idx(pc, level, rng):
+    """Row indices (kept + repeat-pad) for local blob dropout."""
     n_drop = [100, 200, 300, 400, 500][level]
     total = 0
-    out = pc.copy()
     alive = np.ones(len(pc), bool)
     while total < n_drop:
         k = min(rng.integers(30, 100), n_drop - total)
-        center = out[rng.integers(0, len(out))]
-        d = np.linalg.norm(out - center, axis=1)
+        center = pc[rng.integers(0, len(pc))]
+        d = np.linalg.norm(pc - center, axis=1)
         victims = np.argsort(d)[:k]
         alive[victims[alive[victims]]] = False
         total += k
@@ -96,7 +99,11 @@ def corrupt_dropout_local(pc, level, rng):
     if len(kept) == 0:
         kept = np.array([0])
     pad = rng.choice(kept, len(pc) - len(kept), replace=True)
-    return np.concatenate([pc[kept], pc[pad]], 0)
+    return np.concatenate([kept, pad], 0)
+
+
+def corrupt_dropout_local(pc, level, rng):
+    return pc[_dropout_local_idx(pc, level, rng)]
 
 
 def corrupt_add_global(pc, level, rng):
@@ -140,6 +147,94 @@ def write_h5(path, data, label):
     print("wrote", path, data.shape)
 
 
+def _corrupt_with_pid(fn, name, pc, pid, level, rng):
+    """Apply a corruption to (pc, pid) jointly: row selections follow pid
+    (via the index-returning dropout helpers); added points inherit the
+    pid of their nearest original point."""
+    if name in ("scale", "jitter", "rotate"):
+        return fn(pc, level, rng), pid
+    if name == "dropout_global":
+        idx = _dropout_global_idx(pc, level, rng)
+        return pc[idx].astype(np.float32), pid[idx]
+    if name == "dropout_local":
+        idx = _dropout_local_idx(pc, level, rng)
+        return pc[idx].astype(np.float32), pid[idx]
+    # add_global / add_local: corrupt, then nearest-original pid lookup
+    out = fn(pc, level, rng)
+    d = ((out[:, None, :] - pc[None, :, :]) ** 2).sum(-1)
+    src = d.argmin(1)
+    return out.astype(np.float32), pid[src]
+
+
+def _assign_pids(pts, cls, rng):
+    """Height-quantile part labels within the class's part range (learnable
+    structure: parts stratify along gravity, like real ShapeNetPart)."""
+    from adaptpoint_tpu.datasets.shapenetpart import CLS2PARTS
+    parts = CLS2PARTS[int(cls)]
+    z = pts[:, 1]
+    q = np.argsort(np.argsort(z)) / max(len(z) - 1, 1)
+    sel = np.minimum((q * len(parts)).astype(np.int64), len(parts) - 1)
+    return np.asarray(parts, np.int64)[sel]
+
+
+def generate_cls(root, train, test, seed, maker, n_classes, train_name,
+                 test_name, cdir, n_points=N_POINTS):
+    global N_CLASSES
+    N_CLASSES = n_classes
+    rng = np.random.default_rng(seed)
+    train_pts, train_y = make_split(rng, train, maker)
+    test_pts, test_y = make_split(np.random.default_rng(seed + 1), test,
+                                  maker)
+    write_h5(os.path.join(root, train_name), train_pts, train_y)
+    write_h5(os.path.join(root, test_name), test_pts, test_y)
+    write_h5(os.path.join(root, cdir, "clean.h5"), test_pts, test_y)
+    for name, fn in CORRUPT_FNS.items():
+        for level in range(5):
+            crng = np.random.default_rng((seed, hash(name) % 2 ** 31, level))
+            out = np.stack([fn(p, level, crng) for p in test_pts])
+            write_h5(os.path.join(root, cdir, f"{name}_{level}.h5"),
+                     out.astype(np.float32), test_y)
+
+
+def generate_partseg(root, train, test, seed, maker):
+    """ShapeNetPart(-C) stand-in: h5 shards with data/label/pid; the -C
+    splits co-corrupt pids (reference layout: shapenetpart.py:56-75 +
+    shapenetpart_c.py:42-119)."""
+    import h5py
+
+    def write_seg(path, data, label, pid):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with h5py.File(path, "w") as f:
+            f["data"], f["label"], f["pid"] = data, label, pid
+        print("wrote", path, data.shape)
+
+    def split(n, sd):
+        rng = np.random.default_rng(sd)
+        y = rng.integers(0, 16, n).astype(np.int64)
+        pts = np.stack([_normalize(maker(rng, int(c), N_POINTS)) for c in y])
+        pid = np.stack([_assign_pids(p, c, rng) for p, c in zip(pts, y)])
+        return pts.astype(np.float32), y.reshape(-1, 1), pid
+
+    tr = split(train, seed)
+    va = split(max(test // 2, 8), seed + 1)
+    te = split(test, seed + 2)
+    base = os.path.join(root, "ShapeNetPart/hdf5_data")
+    write_seg(os.path.join(base, "ply_data_train0.h5"), *tr)
+    write_seg(os.path.join(base, "ply_data_val0.h5"), *va)
+    write_seg(os.path.join(base, "ply_data_test0.h5"), *te)
+    cdir = os.path.join(root, "shapenet_c")
+    write_seg(os.path.join(cdir, "clean.h5"), *te)
+    te_pts, te_y, te_pid = te
+    for name, fn in CORRUPT_FNS.items():
+        for level in range(5):
+            crng = np.random.default_rng((seed, hash(name) % 2 ** 31, level))
+            pcs, pids = zip(*[_corrupt_with_pid(fn, name, p, q, level, crng)
+                              for p, q in zip(te_pts, te_pid)])
+            write_seg(os.path.join(cdir, f"{name}_{level}.h5"),
+                      np.stack(pcs).astype(np.float32), te_y,
+                      np.stack(pids))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data")
@@ -150,31 +245,31 @@ def main():
                     help="'hard' uses the non-saturating overlapping-class "
                          "generator (datasets/synthetic._make_cloud_hard); "
                          "write it to a separate --root, e.g. data_hard")
+    ap.add_argument("--benchmark",
+                    choices=["scanobjectnn", "modelnet", "shapenetpart"],
+                    default="scanobjectnn",
+                    help="which benchmark's on-disk format to emit")
     args = ap.parse_args()
 
     maker = _make_cloud_hard if args.protocol == "hard" else _make_cloud
-    rng = np.random.default_rng(args.seed)
-    train_pts, train_y = make_split(rng, args.train, maker)
-    test_pts, test_y = make_split(np.random.default_rng(args.seed + 1),
-                                  args.test, maker)
 
-    main_split = os.path.join(args.root, "ScanObjectNN/h5_files/main_split")
-    write_h5(os.path.join(
-        main_split, "training_objectdataset_augmentedrot_scale75.h5"),
-        train_pts, train_y)
-    write_h5(os.path.join(
-        main_split, "test_objectdataset_augmentedrot_scale75.h5"),
-        test_pts, test_y)
-
-    cdir = os.path.join(args.root, "ScanObjectNN_C/scanobjectnn_c")
-    write_h5(os.path.join(cdir, "clean.h5"), test_pts, test_y)
-    for name, fn in CORRUPT_FNS.items():
-        for level in range(5):
-            crng = np.random.default_rng((args.seed, hash(name) % 2 ** 31,
-                                          level))
-            out = np.stack([fn(p, level, crng) for p in test_pts])
-            write_h5(os.path.join(cdir, f"{name}_{level}.h5"),
-                     out.astype(np.float32), test_y)
+    if args.benchmark == "modelnet":
+        generate_cls(
+            args.root, args.train, args.test, args.seed, maker, 40,
+            "ModelNet40Ply2048/modelnet40_ply_hdf5_2048/ply_data_train0.h5",
+            "ModelNet40Ply2048/modelnet40_ply_hdf5_2048/ply_data_test0.h5",
+            "ModelNetC/modelnet_c")
+        return
+    if args.benchmark == "shapenetpart":
+        generate_partseg(args.root, args.train, args.test, args.seed, maker)
+        return
+    generate_cls(
+        args.root, args.train, args.test, args.seed, maker, 15,
+        "ScanObjectNN/h5_files/main_split/"
+        "training_objectdataset_augmentedrot_scale75.h5",
+        "ScanObjectNN/h5_files/main_split/"
+        "test_objectdataset_augmentedrot_scale75.h5",
+        "ScanObjectNN_C/scanobjectnn_c")
 
 
 if __name__ == "__main__":
