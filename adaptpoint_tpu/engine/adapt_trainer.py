@@ -146,9 +146,11 @@ def make_gan_step(generator, discriminator, tx_g, tx_d, cls_model, cfg):
             # (fastpath.fused_train): same eval-mode forward, backward
             # recomputed in VMEM — the grouped (B,K,M,3+C) tensor never
             # exists in either direction.
-            from ..utils.fastpath import fused_train
+            from ..utils.fastpath import frozen_params, fused_train
             fake_x = jnp.concatenate([gen, points[..., 3:in_channels]], -1)
-            with fused_train():
+            # frozen_params: the classifier is FROZEN here, so the fused SA
+            # backward statically skips its weight-cotangent matmuls
+            with fused_train(), frozen_params():
                 logits_fake = cls_forward(cls_state, gen, fake_x)
             # real pass is gradient-free (stop_gradient): lower it through
             # the forward-only fused eval SA kernel (utils/fastpath.py) —

@@ -175,9 +175,16 @@ class SetAbstraction(nn.Module):
         custom-VJP variant runs instead — same forward, recompute-in-VMEM
         backward."""
         from ...ops.pallas.saeval import sa_eval_pallas, sa_train_pallas
-        from ...utils.fastpath import fused_train_active
-        kernel_fn = sa_train_pallas if fused_train_active() else \
-            sa_eval_pallas
+        from ...utils.fastpath import frozen_params_active, fused_train_active
+        if fused_train_active():
+            # frozen_params (the GAN fake pass feeds a FROZEN classifier)
+            # statically drops the weight-cotangent matmuls from the
+            # custom-VJP backward — JAX cannot DCE custom_vjp outputs
+            import functools as _ft
+            kernel_fn = _ft.partial(sa_train_pallas,
+                                    param_grads=not frozen_params_active())
+        else:
+            kernel_fn = sa_eval_pallas
 
         npoint = p.shape[1] // self.stride
         idx = self._sample_idx(p, npoint)

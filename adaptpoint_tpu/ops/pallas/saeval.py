@@ -333,12 +333,15 @@ def _interpret() -> bool:
 
 def _sa_bwd_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
                    w2_ref, b2_ref, out_ref, gout_ref, gfi_ref, gnew_ref,
-                   gfx_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref, *,
-                   radius: float, nsample: int, n_real: int, c: int,
-                   relative: bool, normalize_dp: bool, splits: int,
-                   g_batch: int, sx: int):
+                   gfx_ref, *wrefs, radius: float, nsample: int,
+                   n_real: int, c: int, relative: bool, normalize_dp: bool,
+                   splits: int, g_batch: int, sx: int, wgrads: bool):
     # grid (B, M//TM): gfx (1,N,3+C) revisited per-b (accumulate over t);
     # gw*/gb* revisited over the WHOLE grid (accumulate over b and t).
+    # wgrads=False (frozen-classifier fake pass) drops the weight-cotangent
+    # outputs and their accumulation matmuls statically.
+    if wgrads:
+        gw1_ref, gb1_ref, gw2_ref, gb2_ref = wrefs
     n_pad = vcat_ref.shape[1]
     tm = qidx_ref.shape[1]
     K = nsample
@@ -349,12 +352,13 @@ def _sa_bwd_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     def _init_fx():
         gfx_ref[0] = jnp.zeros_like(gfx_ref[0])
 
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
-    def _init_w():
-        gw1_ref[:] = jnp.zeros_like(gw1_ref[:])
-        gb1_ref[:] = jnp.zeros_like(gb1_ref[:])
-        gw2_ref[:] = jnp.zeros_like(gw2_ref[:])
-        gb2_ref[:] = jnp.zeros_like(gb2_ref[:])
+    if wgrads:
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _init_w():
+            gw1_ref[:] = jnp.zeros_like(gw1_ref[:])
+            gb1_ref[:] = jnp.zeros_like(gb1_ref[:])
+            gw2_ref[:] = jnp.zeros_like(gw2_ref[:])
+            gb2_ref[:] = jnp.zeros_like(gb2_ref[:])
 
     lane = lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     x_hi, x_mid, x_lo = _split3(xyz_ref[0])
@@ -453,18 +457,19 @@ def _sa_bwd_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
         g_o = (jnp.concatenate([g_out] * G, axis=0)
                if G > 1 else g_out) * mask
         g_ob = g_o.astype(jnp.bfloat16)
-        # param grads
-        acc_w2 += lax.dot_general(hb, g_ob, dn0,
-                                  preferred_element_type=jnp.float32)
-        acc_b2 += jnp.sum(g_o, axis=0, keepdims=True)
+        if wgrads:
+            acc_w2 += lax.dot_general(hb, g_ob, dn0,
+                                      preferred_element_type=jnp.float32)
+            acc_b2 += jnp.sum(g_o, axis=0, keepdims=True)
         g_h = lax.dot_general(
             g_ob, w2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         g_h = jnp.where(h_pre > 0.0, g_h, 0.0)
         g_hb = g_h.astype(jnp.bfloat16)
-        acc_w1 += lax.dot_general(ggb, g_hb, dn0,
-                                  preferred_element_type=jnp.float32)
-        acc_b1 += jnp.sum(g_h, axis=0, keepdims=True)
+        if wgrads:
+            acc_w1 += lax.dot_general(ggb, g_hb, dn0,
+                                      preferred_element_type=jnp.float32)
+            acc_b1 += jnp.sum(g_h, axis=0, keepdims=True)
         g_v = lax.dot_general(
             g_hb, w1, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # (G*TM, w)
@@ -493,10 +498,11 @@ def _sa_bwd_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,
     gq = jnp.concatenate([gq_xyz, gfi_ref[0].astype(jnp.float32)], axis=1)
     acc += _oh_matmul(oh_q.T, *_split3(gq))
     gfx_ref[0] = gfx_ref[0] + acc
-    gw1_ref[:] = gw1_ref[:] + acc_w1
-    gb1_ref[:] = gb1_ref[:] + acc_b1
-    gw2_ref[:] = gw2_ref[:] + acc_w2
-    gb2_ref[:] = gb2_ref[:] + acc_b2
+    if wgrads:
+        gw1_ref[:] = gw1_ref[:] + acc_w1
+        gb1_ref[:] = gb1_ref[:] + acc_b1
+        gw2_ref[:] = gw2_ref[:] + acc_w2
+        gb2_ref[:] = gb2_ref[:] + acc_b2
 
 
 def _sa_train_call(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
@@ -554,30 +560,38 @@ def _sa_train_call(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
     return new_xyz, fi, out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 9, 10, 11, 12))
 def _sa_train_vjp(radius, nsample, xyz, query_idx, feats,
-                  w1, b1, w2, b2, relative, normalize_dp, splits):
+                  w1, b1, w2, b2, relative, normalize_dp, splits,
+                  param_grads):
     return _sa_train_call(radius, nsample, xyz, query_idx, feats,
                           w1, b1, w2, b2, relative, normalize_dp, splits)
 
 
 def sa_train_pallas(radius: float, nsample: int, xyz, query_idx, feats,
                     w1, b1, w2, b2, relative: bool = True,
-                    normalize_dp: bool = False, splits: int = 1):
+                    normalize_dp: bool = False, splits: int = 1,
+                    param_grads: bool = True):
     """Differentiable fused SA stage (see the section comment above).
 
     Same forward as sa_eval_pallas; the custom VJP backward recomputes the
     grouped activations in VMEM and emits gradients for xyz, feats and the
     folded w1/b1/w2/b2. Max-pool cotangents route to the FIRST maximal
     slot per channel (torch.max argmax class). Inputs may be bf16 under
-    the compute policy (cotangents are returned in the primal dtypes)."""
+    the compute policy (cotangents are returned in the primal dtypes).
+
+    ``param_grads=False`` statically drops the w1/b1/w2/b2 cotangent
+    computation from the backward kernel (their grads return as zeros) —
+    for callers that KNOW the weights are frozen (the GAN fake pass;
+    custom_vjp otherwise computes cotangents JAX cannot DCE)."""
     return _sa_train_vjp(radius, nsample, xyz, query_idx, feats,
                          w1, b1, w2, b2, bool(relative),
-                         bool(normalize_dp), int(splits))
+                         bool(normalize_dp), int(splits),
+                         bool(param_grads))
 
 
 def _sa_train_fwd(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
-                  relative, normalize_dp, splits):
+                  relative, normalize_dp, splits, param_grads):
     new_xyz, fi, out = _sa_train_call(radius, nsample, xyz, query_idx,
                                       feats, w1, b1, w2, b2, relative,
                                       normalize_dp, splits)
@@ -585,8 +599,8 @@ def _sa_train_fwd(radius, nsample, xyz, query_idx, feats, w1, b1, w2, b2,
     return (new_xyz, fi, out), res
 
 
-def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits, res,
-                  grads):
+def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits,
+                  param_grads, res, grads):
     xyz, query_idx, feats, w1, b1, w2, b2, out = res
     g_new, g_fi, g_out = grads
     B, N, _ = xyz.shape
@@ -599,8 +613,24 @@ def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits, res,
     kernel = functools.partial(
         _sa_bwd_kernel, radius=float(radius), nsample=nsample, n_real=N,
         c=C, relative=relative, normalize_dp=normalize_dp, splits=splits,
-        g_batch=g_batch, sx=sx)
-    gfx, gw1, gb1, gw2, gb2 = pl.pallas_call(
+        g_batch=g_batch, sx=sx, wgrads=param_grads)
+    w_out_specs = (
+        pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mid), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ) if param_grads else ()
+    w_out_shapes = (
+        jax.ShapeDtypeStruct((C + 3, mid), jnp.float32),
+        jax.ShapeDtypeStruct((1, mid), jnp.float32),
+        jax.ShapeDtypeStruct((mid, cout), jnp.float32),
+        jax.ShapeDtypeStruct((1, cout), jnp.float32),
+    ) if param_grads else ()
+    outs = pl.pallas_call(
         kernel,
         grid=(B, M // tm),
         in_specs=[
@@ -632,32 +662,26 @@ def _sa_train_bwd(radius, nsample, relative, normalize_dp, splits, res,
         out_specs=(
             pl.BlockSpec((1, n_pad, C + 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C + 3, mid), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mid), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mid, cout), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        ) + w_out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((B, n_pad, C + 3), jnp.float32),
-            jax.ShapeDtypeStruct((C + 3, mid), jnp.float32),
-            jax.ShapeDtypeStruct((1, mid), jnp.float32),
-            jax.ShapeDtypeStruct((mid, cout), jnp.float32),
-            jax.ShapeDtypeStruct((1, cout), jnp.float32),
-        ),
+        ) + w_out_shapes,
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
     )(query_idx.astype(jnp.int32)[:, :, None], vcat, xyzt, xyz_p,
       w1.astype(jnp.bfloat16), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.bfloat16), b2.reshape(1, -1).astype(jnp.float32),
       out, g_out, g_fi, g_new)
+    if param_grads:
+        gfx, gw1, gb1, gw2, gb2 = outs
+        gw = (gw1.astype(w1.dtype), gb1.reshape(b1.shape).astype(b1.dtype),
+              gw2.astype(w2.dtype), gb2.reshape(b2.shape).astype(b2.dtype))
+    else:
+        (gfx,) = outs
+        gw = (jnp.zeros_like(w1), jnp.zeros_like(b1),
+              jnp.zeros_like(w2), jnp.zeros_like(b2))
     return (gfx[:, :N, :3].astype(xyz.dtype), None,
-            gfx[:, :N, 3:].astype(feats.dtype),
-            gw1.astype(w1.dtype), gb1.reshape(b1.shape).astype(b1.dtype),
-            gw2.astype(w2.dtype), gb2.reshape(b2.shape).astype(b2.dtype))
+            gfx[:, :N, 3:].astype(feats.dtype)) + gw
 
 
 _sa_train_vjp.defvjp(_sa_train_fwd, _sa_train_bwd)

@@ -67,6 +67,29 @@ def fused_train_active() -> bool:
     return bool(_FUSED_TRAIN.get())
 
 
+# Frozen-parameter hint for the fused-train scope: when the caller KNOWS the
+# model parameters are not being differentiated (the GAN fake pass feeds a
+# FROZEN classifier), the custom-VJP fused SA backward can statically skip
+# its weight-gradient matmuls/accumulators — custom_vjp computes cotangents
+# for every primal input, so JAX cannot DCE them on its own.
+
+_FROZEN_PARAMS: contextvars.ContextVar = contextvars.ContextVar(
+    "adaptpoint_frozen_params", default=False)
+
+
+@contextlib.contextmanager
+def frozen_params(enable: bool = True):
+    token = _FROZEN_PARAMS.set(bool(enable))
+    try:
+        yield
+    finally:
+        _FROZEN_PARAMS.reset(token)
+
+
+def frozen_params_active() -> bool:
+    return bool(_FROZEN_PARAMS.get())
+
+
 # --- shared-FPS scope -------------------------------------------------------
 # FPS is greedy, so fps(x, m) == fps(x, n)[:m] for m <= n (prefix property;
 # see ops.fps_prefix_idx). A caller that runs SEVERAL models over the SAME

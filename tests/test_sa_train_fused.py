@@ -80,3 +80,29 @@ def test_sa_train_vjp_matches_reference(problem, monkeypatch):
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 6e-2, (
             n, np.abs(a - b).max(), scale)
+
+
+def test_sa_train_param_grads_off(problem, monkeypatch):
+    """param_grads=False (frozen-classifier fake pass): input gradients
+    bit-match the default path; weight cotangents come back as zeros."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    from adaptpoint_tpu.ops.pallas.saeval import sa_train_pallas
+    xyz, qidx, feats, w1, b1, w2, b2, radius, K = problem
+
+    def loss(pg, xyz, feats, w1, b1, w2, b2):
+        new_p, fi, out = sa_train_pallas(radius, K, xyz, qidx, feats,
+                                         w1, b1, w2, b2, param_grads=pg)
+        return (jnp.sum(jnp.sin(out)) + jnp.sum(fi * 0.3)
+                + jnp.sum(new_p * 0.7))
+
+    import functools
+    g_on = jax.grad(functools.partial(loss, True),
+                    argnums=(0, 1, 2, 3, 4, 5))(xyz, feats, w1, b1, w2, b2)
+    g_off = jax.grad(functools.partial(loss, False),
+                     argnums=(0, 1, 2, 3, 4, 5))(xyz, feats, w1, b1, w2, b2)
+    # inputs: identical
+    for a, b in zip(g_on[:2], g_off[:2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # weights: statically zero
+    for z in g_off[2:]:
+        assert float(np.abs(np.asarray(z)).max()) == 0.0

@@ -21,6 +21,7 @@ def _case(rng, b, n, m, c):
     return xyz, feats, qidx
 
 
+@pytest.mark.slow  # prototype kernel, not on any default dispatch path
 @pytest.mark.parametrize("radius,tm,wov", [(0.3, 128, None),
                                            (0.05, 64, "384"),
                                            (1.5, 128, None)])
@@ -43,6 +44,7 @@ def test_windowed_maxpool_fwd_matches_composite(monkeypatch, radius, tm, wov):
                                       err_msg=name)
 
 
+@pytest.mark.slow  # prototype kernel, not on any default dispatch path
 def test_windowed_maxpool_grad_matches_oracle(monkeypatch):
     monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
     from adaptpoint_tpu.ops.pallas.window import ball_group_maxpool_windowed
