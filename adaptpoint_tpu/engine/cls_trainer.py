@@ -92,6 +92,12 @@ def _make_train_step_traced(model, tx, criterion, cfg):
     cls_dtype = ("bfloat16"
                  if str(cfg.get("cls_precision", "f32")).lower()
                  in ("bf16", "bfloat16") else None)
+    # ADAPTPOINT_TPU_TRAIN_FUSED=1 lowers the training forward's SA stages
+    # through the fused train-BN kernel family (ops/pallas/satrainbn.py) —
+    # same f32 numerics class as the unfused path (see module docstring),
+    # grouped tensors never touch HBM in either direction
+    from ..utils.fastpath import fused_train_bn, fused_trainbn_env
+    trainbn = fused_trainbn_env()
 
     def train_step_traced(state: TrainState, batch, rng, lr):
         rng_fps, rng_drop, rng_hess = jax.random.split(rng, 3)
@@ -102,7 +108,7 @@ def _make_train_step_traced(model, tx, criterion, cfg):
         y = batch["y"]
 
         def loss_fn(params):
-            with dtype_override(cls_dtype):
+            with dtype_override(cls_dtype), fused_train_bn(trainbn):
                 logits, updates = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     pos, x, training=True,

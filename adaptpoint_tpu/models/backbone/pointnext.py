@@ -138,6 +138,83 @@ class SetAbstraction(nn.Module):
                 return shared
         return furthest_point_sample(p, npoint)
 
+    def _fused_trainbn_ok(self, training: bool, order: str) -> bool:
+        """Gate for the fused TRAIN-mode (batch-stats BN) SA kernel
+        (ops/pallas/satrainbn.py): training forwards of the standard
+        2-conv bn+relu dp_fj stage, opted in via utils.fastpath
+        ``fused_train_bn`` (env ADAPTPOINT_TPU_TRAIN_FUSED=1). Same f32
+        numerics class as the unfused path — exact 3-split gathers/
+        scatters, f32 conv matmuls, batch statistics over all (B,M,K)
+        slots including the pad-with-first duplicates."""
+        import os
+        from ...utils.fastpath import fused_trainbn_active
+        if not training or not fused_trainbn_active():
+            return False
+        if self.layers != 2 or self.feature_type != "dp_fj":
+            return False
+        if order != "conv-norm-act":
+            return False
+        if not (self.norm_args or {}).get("norm", "").startswith("bn"):
+            return False
+        if (self.act_args or {}).get("act") != "relu":
+            return False
+        if os.environ.get("ADAPTPOINT_TPU_KERNELS", "auto").lower() == "xla":
+            return False
+        if os.environ.get("ADAPTPOINT_TPU_PALLAS_INTERPRET", "0") == "1":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _fused_trainbn_stage(self, p, f, group_args, channels, use_res,
+                             order, training):
+        """Train SA stage through the fused train-BN Pallas kernel family.
+        Declares the SAME parameter tree as the unfused path (skipconv +
+        two ConvBlocks via the fused_sa handshake), runs gather + conv +
+        batch-stats BN + relu + conv + BN + max entirely in VMEM, then
+        re-enters each ConvBlock to record the kernel-computed batch
+        statistics into its BatchNorm running averages."""
+        from ...ops.pallas.satrainbn import sa_trainbn_pallas
+
+        npoint = p.shape[1] // self.stride
+        idx = self._sample_idx(p, npoint)
+
+        skipconv = None
+        if use_res and self.in_channels != channels[-1]:
+            skipconv = nn.Dense(channels[-1], use_bias=True,
+                                kernel_init=torch_linear_init,
+                                name="skipconv")
+        cbs, reads = [], []
+        cin = channels[0]
+        for i in range(2):
+            act = None if (i == 1 and use_res) else self.act_args
+            cb = ConvBlock(channels[i + 1], norm_args=self.norm_args,
+                           act_args=act, order=order)
+            reads.append(cb(jnp.zeros((1, 1, 1, cin), jnp.float32),
+                            training, fused_sa="declare"))
+            cbs.append(cb)
+            cin = channels[i + 1]
+        (w1, g1, b1), (w2, g2, b2) = reads
+
+        new_p, fi, out, mu1, var1, mu2, var2 = sa_trainbn_pallas(
+            float(group_args.get("radius", 0.1)),
+            int(group_args.get("nsample", 16)), p, idx, f,
+            w1, g1, b1, w2, g2, b2,
+            relative=group_args.get("relative_xyz", True),
+            normalize_dp=group_args.get("normalize_dp", False))
+        cbs[0](jnp.zeros((1, 1, 1, channels[0]), jnp.float32), training,
+               fused_sa=(mu1, var1))
+        cbs[1](jnp.zeros((1, 1, 1, channels[1]), jnp.float32), training,
+               fused_sa=(mu2, var2))
+
+        act_fn = create_act(self.act_args)
+        if use_res:
+            identity = skipconv(fi) if skipconv is not None else fi
+            out = act_fn(out + identity)
+        else:
+            # relu(max(x)) == max(relu(x)): the unfused path activates
+            # pre-pool; relu is monotone so post-pool is identical
+            out = act_fn(out)
+        return new_p, out
+
     def _fused_eval_ok(self, training: bool, order: str) -> bool:
         """Gate for the fused eval SA kernels (ops/pallas/saeval.py):
         eval-mode (BN running stats) forwards with exactly two convs in the
@@ -252,6 +329,9 @@ class SetAbstraction(nn.Module):
         use_fused = (not all_aggr and
                      group_args.get("NAME", "ballquery") == "ballquery")
 
+        if use_fused and self._fused_trainbn_ok(training, order):
+            return self._fused_trainbn_stage(p, f, group_args, channels,
+                                             use_res, order, training)
         if use_fused and self._fused_eval_ok(training, order):
             return self._fused_eval_stage(p, f, group_args, channels,
                                           use_res, order, training)

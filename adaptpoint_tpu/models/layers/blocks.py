@@ -97,6 +97,43 @@ CHANNEL_MAP = {
 }
 
 
+class BNStatsHandle(nn.Module):
+    """Stands in for flax ``nn.BatchNorm`` at the SAME variable paths when
+    a fused kernel computed the normalization itself (ops/pallas/
+    satrainbn.py): declares the identical params ('scale', 'bias') and
+    batch_stats ('mean', 'var'), returns the params for the kernel, and —
+    when given the kernel-computed batch statistics — performs the same
+    running-average update flax's BatchNorm would have. Instantiated with
+    name='BatchNorm_0' so checkpoints/param trees are byte-identical to
+    the unfused trace."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_stats=None):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        if batch_stats is not None and not self.is_initializing():
+            import jax
+            mean, var = batch_stats
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum)
+                             * jax.lax.stop_gradient(mean))
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum)
+                            * jax.lax.stop_gradient(var))
+        return scale, bias
+
+
 class NormAct(nn.Module):
     """Norm (+ optional act) applied channels-last; norm reduces over all
     leading axes like torch BatchNorm1d/2d."""
@@ -105,7 +142,13 @@ class NormAct(nn.Module):
     act_args: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, fused_sa=None):
+        if fused_sa is not None:
+            # fused train-BN SA handshake: declare/return the BatchNorm
+            # params, record kernel-computed stats ('declare' reads only)
+            handle = BNStatsHandle(x.shape[-1], momentum=0.9,
+                                   name="BatchNorm_0")
+            return handle(None if fused_sa == "declare" else fused_sa)
         if self.norm_args is not None and self.norm_args.get("norm"):
             norm = self.norm_args["norm"].lower()
             if norm.startswith("bn"):
@@ -139,12 +182,19 @@ class ConvBlock(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, fused_sa=None):
         use_bias = self.bias and self.norm_args is None
         dense = nn.Dense(self.channels, use_bias=use_bias,
                          dtype=compute_dtype(),
                          kernel_init=torch_linear_init)
         norm_act = NormAct(self.norm_args, self.act_args)
+        if fused_sa is not None:
+            # fused train-BN SA handshake (ops/pallas/satrainbn.py):
+            # 'declare' returns (kernel, bn_scale, bn_bias) on a dummy row;
+            # (mean, var) re-enters to record the kernel's batch stats
+            y = dense(x)
+            scale, bn_bias = norm_act(y, training, fused_sa=fused_sa)
+            return dense.variables["params"]["kernel"], scale, bn_bias
         if self.order == "conv-norm-act":
             return norm_act(dense(x), training)
         if self.order == "norm-act-conv":

@@ -90,6 +90,35 @@ def frozen_params_active() -> bool:
     return bool(_FROZEN_PARAMS.get())
 
 
+# --- fused TRAIN-mode (batch-stats BN) SA scope -------------------------------
+# Opt-in for the fused train-BN SA stage (ops/pallas/satrainbn.py): the
+# classifier TRAINING step (phase B of the AdaptPoint loop) lowers its SA
+# stages to the 2-fwd + 2-bwd cross-tile-reduction kernel family — grouped
+# tensors and intermediates never touch HBM, BN uses the CURRENT batch's
+# statistics exactly like the unfused flax path (same f32 numerics class).
+# ``ADAPTPOINT_TPU_TRAIN_FUSED=1`` turns it on for the standard train step.
+
+_FUSED_TRAINBN: contextvars.ContextVar = contextvars.ContextVar(
+    "adaptpoint_fused_trainbn", default=False)
+
+
+@contextlib.contextmanager
+def fused_train_bn(enable: bool = True):
+    token = _FUSED_TRAINBN.set(bool(enable))
+    try:
+        yield
+    finally:
+        _FUSED_TRAINBN.reset(token)
+
+
+def fused_trainbn_active() -> bool:
+    return bool(_FUSED_TRAINBN.get())
+
+
+def fused_trainbn_env() -> bool:
+    return os.environ.get("ADAPTPOINT_TPU_TRAIN_FUSED", "0") == "1"
+
+
 # --- shared-FPS scope -------------------------------------------------------
 # FPS is greedy, so fps(x, m) == fps(x, n)[:m] for m <= n (prefix property;
 # see ops.fps_prefix_idx). A caller that runs SEVERAL models over the SAME

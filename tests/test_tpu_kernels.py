@@ -299,3 +299,91 @@ def test_fused_train_sa_grad_golden():
     scale = max(np.abs(b).max(), 1e-4)
     assert np.abs(a - b).max() / scale < 0.25, np.abs(a - b).max() / scale
     assert np.median(np.abs(a - b)) / scale < 0.01
+
+
+@pytest.mark.tpu
+def test_fused_trainbn_sa_golden(monkeypatch):
+    """Fused train-BN SA family (ops/pallas/satrainbn.py, gated by
+    fastpath.fused_train_bn) vs the plain unfused TRAIN step on
+    PointNeXt-S at the phase-B shape (B=32, N=1024): logits, batch-stats
+    updates and parameter gradients.
+
+    Tolerances are SELF-CALIBRATING against the platform's own numerics
+    grade: on TPU, XLA's DEFAULT f32 matmul precision is bf16-multiply/
+    f32-accumulate, and two stacked batch-stat BN chains amplify that to
+    ~7% logits spread vs true f32 — measured here by also running the
+    unfused path at matmul precision 'highest' (with XLA grouping; the
+    Pallas grouping kernels are bf16-by-construction and reject fp32
+    contract precision). The fused path must sit within a small multiple
+    of the |default - highest| spread per tensor — i.e. be the SAME grade
+    as what the unfused phase-B of the committed evidence runs already
+    uses — while the exact *math* parity is proven at f32 grade by the
+    CPU interpreter tier (tests/test_trainbn_kernel.py)."""
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.fastpath import fused_train_bn
+
+    cfg = EasyConfig()
+    cfg.load("cfgs/scanobjectnn/pointnext-s.yaml", recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    rng = np.random.default_rng(0)
+    B, N = 32, 1024
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    y = jnp.asarray(rng.integers(0, 15, B))
+    drng = {"dropout": jax.random.PRNGKey(1)}
+
+    def run_variant(fused, prec, kernels):
+        monkeypatch.setenv("ADAPTPOINT_TPU_KERNELS", kernels)
+
+        def loss_fn(params):
+            def run():
+                with jax.default_matmul_precision(prec):
+                    logits, upd = model.apply(
+                        {"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        pos, x, training=True, rngs=drng,
+                        mutable=["batch_stats"])
+                l = -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(B), y])
+                return l, (logits, upd["batch_stats"])
+            if fused:
+                with fused_train_bn():
+                    return run()
+            return run()
+
+        @jax.jit
+        def go(params):
+            (l, (logits, bs)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return l, logits, bs, g
+
+        out = go(variables["params"])
+        monkeypatch.delenv("ADAPTPOINT_TPU_KERNELS", raising=False)
+        return jax.tree.map(np.asarray, out)
+
+    l_ref, log_ref, bs_ref, g_ref = run_variant(False, "default", "auto")
+    l_hi, log_hi, bs_hi, g_hi = run_variant(False, "highest", "xla")
+    l_got, log_got, bs_got, g_got = run_variant(True, "default", "auto")
+
+    # the platform's own bf16-matmul-grade spread is the yardstick
+    assert abs(l_got - l_ref) <= 4 * max(abs(l_ref - l_hi), 1e-4)
+    mag = max(float(np.abs(log_ref).max()), 1e-3)
+    floor = max(float(np.abs(log_ref - log_hi).max()), 1e-3 * mag)
+    assert float(np.abs(log_got - log_ref).max()) <= 4 * floor
+
+    for tree_ref, tree_hi, tree_got, label, cmin in (
+            (bs_ref, bs_hi, bs_got, "batch_stats", 1e-5),
+            (g_ref, g_hi, g_got, "grad", 1e-4)):
+        gscale = max(float(np.abs(l).max())
+                     for l in jax.tree_util.tree_leaves(tree_ref))
+        for (pth, r), (_, h), (_, g) in zip(
+                jax.tree_util.tree_leaves_with_path(tree_ref),
+                jax.tree_util.tree_leaves_with_path(tree_hi),
+                jax.tree_util.tree_leaves_with_path(tree_got)):
+            fl = max(float(np.abs(r - h).max()), cmin * gscale)
+            d = float(np.abs(g - r).max())
+            assert d <= 6 * fl, (
+                f"{label}{jax.tree_util.keystr(pth)}: fused diff {d:.3e} "
+                f"exceeds 6x the default-vs-highest spread {fl:.3e}")
