@@ -209,12 +209,33 @@ def main(cfg):
     mode = cfg.get("mode", "train")
     use_adapt = mode == "adaptpoint" or cfg.get("adaptmodel_gan") is not None
 
+    def shapenetc_sweep(st, tag):
+        """ShapeNet-C corruption sweep on state ``st`` (train_shapenetc.py
+        behavior), appended to <run_dir>/outcorruption.txt under ``tag``."""
+        def eval_c(split):
+            from ..transforms import build_transforms_from_cfg
+            transform = build_transforms_from_cfg(
+                "val", cfg.get("datatransforms_shapenet_c"))
+            ds = ShapeNetPartC(
+                data_dir=cfg.get("shapenet_c_dir", "./data/shapenet_c"),
+                split=split, transform=transform)
+            loader = NumpyLoader(ds, cfg.get("val_batch_size", cfg.batch_size))
+            return validate_partseg(eval_step, st, loader, mesh, cfg)
+
+        try:
+            eval_corrupt_wrapper_shapenetc(
+                lambda split: eval_c(split), {}, cfg.get("run_dir"), tag)
+        except FileNotFoundError as e:
+            logging.warning("skipping shapenet-c eval: %s", e)
+
     if cfg.get("pretrained_path") and mode in ("test", "val"):
         payload, e, _ = load_checkpoint(_state_payload(state), cfg.pretrained_path)
         state = _restore_state(state, payload)
         perf = validate_partseg(eval_step, state, val_loader, mesh, cfg,
                                 refine=cfg.get("refine", False))
         logging.info("test: %s", perf)
+        if cfg.get("eval_shapenet_c", False):
+            shapenetc_sweep(state, f"test-{os.path.basename(cfg.pretrained_path)}")
         return perf
 
     gan_state = gan_step = None
@@ -297,22 +318,18 @@ def main(cfg):
         if perf:
             summary.add_scalar("ins_miou", perf["ins_miou"], epoch)
 
-    # optional ShapeNet-C sweep (train_shapenetc.py behavior)
+    # optional ShapeNet-C sweep on BOTH latest and best states (reference
+    # tests last + best ckpt then corruption-sweeps both,
+    # train_autoaug.py:437-456 / train_shapenetc.py)
     if cfg.get("eval_shapenet_c", False):
-        def eval_c(split):
-            from ..transforms import build_transforms_from_cfg
-            transform = build_transforms_from_cfg(
-                "val", cfg.get("datatransforms_shapenet_c"))
-            ds = ShapeNetPartC(
-                data_dir=cfg.get("shapenet_c_dir", "./data/shapenet_c"),
-                split=split, transform=transform)
-            loader = NumpyLoader(ds, cfg.get("val_batch_size", cfg.batch_size))
-            return validate_partseg(eval_step, state, loader, mesh, cfg)
-
-        try:
-            eval_corrupt_wrapper_shapenetc(
-                lambda split: eval_c(split), {}, cfg.get("run_dir"), cfg.epochs)
-        except FileNotFoundError as e:
-            logging.warning("skipping shapenet-c eval: %s", e)
+        shapenetc_sweep(state, f"{cfg.epochs}-latest")
+        if cfg.get("run_name"):
+            best_path = os.path.join(
+                cfg.ckpt_dir, f"{cfg.run_name}_ckpt_best.msgpack")
+            if os.path.exists(best_path):
+                payload, _, _ = load_checkpoint(
+                    _state_payload(state), best_path)
+                shapenetc_sweep(_restore_state(state, payload),
+                                f"{cfg.epochs}-best")
     summary.close()
     return best_ins
