@@ -82,6 +82,19 @@ def main(cfg):
         print_cls_results(oa, macc, accs, epoch_loaded, cfg)
         return oa
 
+    # resume the GAN loop (reference resume_checkpoint semantics,
+    # train_autoaug_modelnet.py:323-327: restore model+optimizer, continue
+    # at epoch+1; mode stays adaptpoint* here, opt in with resume=True)
+    resume = bool(cfg.get("resume")) and bool(cfg.get("pretrained_path"))
+    resumed_best = 0.0
+    if resume:
+        payload, epoch_loaded, resumed_best = load_checkpoint(
+            _state_payload(state), cfg.pretrained_path)
+        state = _restore_state(state, payload)
+        cfg.start_epoch = epoch_loaded + 1
+        logging.info("resumed classifier from %s at epoch %d (best %.3f)",
+                     cfg.pretrained_path, epoch_loaded, resumed_best)
+
     train_loader = build_dataloader_from_cfg(
         cfg.batch_size, cfg.dataset, cfg.dataloader,
         datatransforms_cfg=cfg.datatransforms, split="train", seed=seed)
@@ -90,6 +103,22 @@ def main(cfg):
     generator, discriminator, tx_g, tx_d, gan_state = build_gan(
         cfg, example_cloud, gan_rng)
     gan_step = make_gan_step(generator, discriminator, tx_g, tx_d, model, cfg)
+    if resume and cfg.get("run_dir"):
+        gan_path = os.path.join(cfg.run_dir, "model_gan.msgpack")
+        if os.path.exists(gan_path):
+            # G/D params + batch stats only (Adam moments restart — the
+            # per-epoch dump predates resume and stores no opt state)
+            target = {"generator": {"params": gan_state.g_params,
+                                    "batch_stats": gan_state.g_bs},
+                      "discriminator": {"params": gan_state.d_params,
+                                        "batch_stats": gan_state.d_bs}}
+            merged, _, _ = load_checkpoint(target, gan_path)
+            gan_state = gan_state.replace(
+                g_params=merged["generator"]["params"],
+                g_bs=merged["generator"]["batch_stats"],
+                d_params=merged["discriminator"]["params"],
+                d_bs=merged["discriminator"]["batch_stats"])
+            logging.info("resumed GAN pair from %s", gan_path)
     # modelnet variant: phase B runs RSMix over the FAKE loader when
     # rsmix_params is set (train_autoaug_modelnet.py:396-398); rsmix's
     # host-side mixing isn't expressible inside the fused on-device step
@@ -106,7 +135,7 @@ def main(cfg):
 
     summary = Summary(cfg.get("run_dir"))
     params_cfg = cfg.adaptpoint_params
-    best_val, macc_when_best, best_epoch = 0.0, 0.0, 0
+    best_val, macc_when_best, best_epoch = float(resumed_best or 0.0), 0.0, 0
     val_oa = val_macc = 0.0
     adjust_epoch = cfg.get("adaptpoint_adjustepoch", 0)
 

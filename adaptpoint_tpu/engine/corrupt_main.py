@@ -207,6 +207,17 @@ def main(cfg):
         _corruption_eval(cfg, eval_step, state, mesh, epoch_loaded)
         return
 
+    # resume=True continues the corruption-mode trainer at epoch+1
+    # (reference resume_checkpoint semantics, train_scanobjectnnc.py)
+    resumed_best = 0.0
+    if cfg.get("resume") and cfg.get("pretrained_path"):
+        payload, epoch_loaded, resumed_best = load_checkpoint(
+            _state_payload(state), cfg.pretrained_path)
+        state = _restore_state(state, payload)
+        cfg.start_epoch = epoch_loaded + 1
+        logging.info("resumed from %s at epoch %d (best %.3f)",
+                     cfg.pretrained_path, epoch_loaded, resumed_best)
+
     train_loader = build_dataloader_from_cfg(
         cfg.batch_size, cfg.dataset, cfg.dataloader,
         datatransforms_cfg=cfg.datatransforms, split="train", seed=seed)
@@ -222,7 +233,7 @@ def main(cfg):
                         if (use_rsmix or use_wolfmix) else None)
 
     summary = Summary(cfg.get("run_dir"))
-    best_val, best_epoch, val_oa = 0.0, 0, 0.0
+    best_val, best_epoch, val_oa = float(resumed_best or 0.0), 0, 0.0
     for epoch in range(cfg.get("start_epoch", 1), cfg.epochs + 1):
         train_loader.set_epoch(epoch)
         lr = lr_fn(epoch - 1)
