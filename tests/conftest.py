@@ -23,6 +23,11 @@ import jax  # noqa: E402
 
 if not _TPU_TIER:
     jax.config.update("jax_platform_name", "cpu")
+    # persistent compile cache: XLA:CPU compilation dominates the fast
+    # tier's wall time (5-17s per big-model test on a 1-vCPU box); warm
+    # reruns skip it entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 else:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

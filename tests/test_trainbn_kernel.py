@@ -35,7 +35,7 @@ def _oracle(radius, nsample, xyz, qidx, feats, w1, g1, b1, w2, g2, b2,
     return new_xyz, fi, jnp.max(o, axis=1), mu1, var1, mu2, var2
 
 
-def _problem(seed=0, B=2, N=160, M=32, K=8, C=16, mid=16, cout=24):
+def _problem(seed=0, B=2, N=96, M=16, K=8, C=16, mid=16, cout=24):
     rng = np.random.default_rng(seed)
     xyz = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.5, jnp.float32)
     feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
@@ -71,17 +71,23 @@ def test_trainbn_forward_parity(monkeypatch, radius, norm_dp):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_trainbn_gradient_parity(monkeypatch):
     """All eight cotangents (xyz, feats, w1, gamma1, beta1, w2, gamma2,
     beta2) match the unfused oracle — including the gradient paths through
-    the batch statistics and the dense BN backward over pad slots."""
+    the batch statistics and the dense BN backward over pad slots.
+
+    Slow tier: interpret-mode tracing of the 4-pass custom VJP dominates
+    (~11s); the fast tier keeps forward+stats parity, and gradient parity
+    is also enforced on-chip by the self-calibrating TPU golden
+    (tests/test_tpu_kernels.py::test_fused_trainbn_sa_golden)."""
     monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
     from adaptpoint_tpu.ops.pallas.satrainbn import sa_trainbn_pallas
     xyz, feats, qidx, params = _problem(seed=3)
     rng = np.random.default_rng(7)
-    r_out = jnp.asarray(rng.standard_normal((2, 32, 24)), jnp.float32)
-    r_fi = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
-    r_new = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+    r_out = jnp.asarray(rng.standard_normal((2, 16, 24)), jnp.float32)
+    r_fi = jnp.asarray(rng.standard_normal((2, 16, 16)), jnp.float32)
+    r_new = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
 
     def loss(fn, xyz, feats, w1, g1, b1, w2, g2, b2):
         new_xyz, fi, out = fn(0.35, 8, xyz, qidx, feats, w1, g1, b1,
