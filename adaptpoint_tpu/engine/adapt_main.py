@@ -240,7 +240,10 @@ def main(cfg):
             test_macc, test_oa, test_accs, _ = validate(
                 eval_step, state, test_loader, mesh, cfg)
             print_cls_results(test_oa, test_macc, test_accs, e, cfg)
-    _corruption_eval(cfg, eval_step, state, mesh, "final_best")
+            # only sweep under the final_best tag when the best state was
+            # actually restored — otherwise this re-sweeps the latest
+            # state mislabeled as best
+            _corruption_eval(cfg, eval_step, state, mesh, "final_best")
     summary.close()
     return best_val
 

@@ -360,13 +360,6 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
     because Mosaic's true allocation varies ~±2M with splits/layout — a
     compile-time OOM is fatal, a slightly smaller tile is not.
     ``ADAPTPOINT_TPU_BG_TILE=tm,g`` overrides for experiments."""
-    import os
-    ov = os.environ.get("ADAPTPOINT_TPU_BG_TILE")
-    if ov:
-        t, g = (int(v) for v in ov.split(","))
-        while m % t != 0 and t > 1:  # clamp to a divisor of M
-            t //= 2
-        return t, g
     budget = 24 * 1024 * 1024
 
     def fits(tm, g):
@@ -377,7 +370,27 @@ def _pick_tm_g(m: int, n_pad: int, c_pad: int, k: int,
         return fixed_bytes + work + sel + gat + out_tiles <= budget
 
     k_div = k_real if k_real is not None else k
-    for g in (8, 4, 2, 1):
+    return _search_tiles(m, fits, (8, 4, 2, 1), k_div,
+                         "ADAPTPOINT_TPU_BG_TILE")
+
+
+def _search_tiles(m, fits, g_order, k_div, env_var):
+    """Shared (tile, g_batch) search for the gather-kernel family
+    (ballgroup/saeval/satrainbn pickers — each supplies its own ``fits``
+    byte model, g preference order, and env override name). The env
+    override is clamped to a divisor of M (tile) and of ``k_div`` (g):
+    every kernel's k-loop is ``range(0, K, G)``, and a non-divisor g
+    overruns K — silently pooling neighbors past the ball-query cap."""
+    import os
+    ov = os.environ.get(env_var)
+    if ov:
+        t, g = (int(v) for v in ov.split(","))
+        while m % t != 0 and t > 1:  # clamp to a divisor of M
+            t //= 2
+        while k_div % g != 0 and g > 1:  # clamp to a divisor of K
+            g //= 2
+        return t, g
+    for g in g_order:
         if k_div % g != 0:  # g must divide the REAL slot count
             continue
         for tm in (256, 128, 64, 32, 16, 8):

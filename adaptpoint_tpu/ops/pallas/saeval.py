@@ -29,7 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ballgroup import _COMPILER_PARAMS, _round_up, _split3, _oh_matmul
+from .ballgroup import (_COMPILER_PARAMS, _round_up, _search_tiles, _split3,
+                        _oh_matmul)
 
 __all__ = ["sa_eval_pallas", "sa_train_pallas"]
 
@@ -41,15 +42,6 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes, nsample):
     tiles). g must divide nsample: the kernel's k-loop is ``range(0, K, G)``
     and a non-divisor would overrun K, silently max-pooling neighbors past
     the ball-query cap. ``ADAPTPOINT_TPU_SAEVAL_TILE=tm,g`` overrides."""
-    import os
-    ov = os.environ.get("ADAPTPOINT_TPU_SAEVAL_TILE")
-    if ov:
-        t, g = (int(v) for v in ov.split(","))
-        while m % t != 0 and t > 1:  # clamp to a divisor of M
-            t //= 2
-        while nsample % g != 0 and g > 1:  # clamp to a divisor of K
-            g //= 2
-        return t, g
     budget = 24 * 1024 * 1024
 
     def fits(tm, g):
@@ -62,18 +54,8 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes, nsample):
     # g=4 first: measured best on the full fused-eval inference forward
     # (B=128 PointNeXt-S sweep: (256,4) 16.4k > (256,8) 15.4k > (128,8)
     # 13.2k clouds/s — the smaller stacked one-hot overlaps better)
-    for g in (4, 8, 2, 1):
-        if nsample % g != 0:
-            continue
-        for tm in (256, 128, 64, 32, 16, 8):
-            if m % tm != 0 and tm > m:
-                continue
-            t = tm
-            while m % t != 0 and t > 1:
-                t //= 2
-            if fits(t, g):
-                return t, g
-    return 1, 1
+    return _search_tiles(m, fits, (4, 8, 2, 1), nsample,
+                         "ADAPTPOINT_TPU_SAEVAL_TILE")
 
 
 def _sa_eval_kernel(qidx_ref, vcat_ref, xyzt_ref, xyz_ref, w1_ref, b1_ref,

@@ -87,7 +87,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ballgroup import (_COMPILER_PARAMS, _inball_rank, _oh_matmul, _round_up,
-                        _split3)
+                        _search_tiles, _split3)
 
 __all__ = ["sa_trainbn_pallas"]
 
@@ -106,15 +106,6 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes, nsample):
     copies. g must divide nsample (the k-loop is range(0, K, G)).
     ``ADAPTPOINT_TPU_TRAINBN_TILE=tm,g`` overrides (clamped to divisors).
     """
-    import os
-    ov = os.environ.get("ADAPTPOINT_TPU_TRAINBN_TILE")
-    if ov:
-        t, g = (int(v) for v in ov.split(","))
-        while m % t != 0 and t > 1:
-            t //= 2
-        while nsample % g != 0 and g > 1:
-            g //= 2
-        return t, g
     budget = 24 * 1024 * 1024
 
     def fits(tm, g):
@@ -126,18 +117,8 @@ def _pick_tm_g(m, n_pad, w_pad, mid_pad, cout_pad, fixed_bytes, nsample):
         out_tiles = 2 * tm * (3 * 128 + w_pad + 2 * cout_pad) * 4
         return fixed_bytes + work + sel + mlp + out_tiles <= budget
 
-    for g in (4, 8, 2, 1):
-        if nsample % g != 0:
-            continue
-        for tm in (256, 128, 64, 32, 16, 8):
-            if m % tm != 0 and tm > m:
-                continue
-            t = tm
-            while m % t != 0 and t > 1:
-                t //= 2
-            if fits(t, g):
-                return t, g
-    return 1, 1
+    return _search_tiles(m, fits, (4, 8, 2, 1), nsample,
+                         "ADAPTPOINT_TPU_TRAINBN_TILE")
 
 
 def _prep(xyz, query_idx, feats, w1, w2, nsample):

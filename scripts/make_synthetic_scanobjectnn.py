@@ -17,6 +17,7 @@ Usage:
         [--train 512] [--test 128]
 """
 import argparse
+import zlib
 import os
 import sys
 
@@ -190,7 +191,8 @@ def generate_cls(root, train, test, seed, maker, n_classes, train_name,
     write_h5(os.path.join(root, cdir, "clean.h5"), test_pts, test_y)
     for name, fn in CORRUPT_FNS.items():
         for level in range(5):
-            crng = np.random.default_rng((seed, hash(name) % 2 ** 31, level))
+            crng = np.random.default_rng(
+                (seed, zlib.crc32(name.encode()), level))
             out = np.stack([fn(p, level, crng) for p in test_pts])
             write_h5(os.path.join(root, cdir, f"{name}_{level}.h5"),
                      out.astype(np.float32), test_y)
@@ -227,7 +229,8 @@ def generate_partseg(root, train, test, seed, maker):
     te_pts, te_y, te_pid = te
     for name, fn in CORRUPT_FNS.items():
         for level in range(5):
-            crng = np.random.default_rng((seed, hash(name) % 2 ** 31, level))
+            crng = np.random.default_rng(
+                (seed, zlib.crc32(name.encode()), level))
             pcs, pids = zip(*[_corrupt_with_pid(fn, name, p, q, level, crng)
                               for p, q in zip(te_pts, te_pid)])
             write_seg(os.path.join(cdir, f"{name}_{level}.h5"),
