@@ -238,6 +238,20 @@ def main(cfg):
             shapenetc_sweep(state, f"test-{os.path.basename(cfg.pretrained_path)}")
         return perf
 
+    # resume (reference resume_checkpoint semantics for both part-seg
+    # trainers: main.py:167-171, train_adapt.py:352-362) — mode=resume or
+    # the adapt-loop resume=True flag
+    resume = cfg.get("pretrained_path") and (mode == "resume"
+                                             or cfg.get("resume"))
+    resumed_best = 0.0
+    if resume:
+        payload, epoch_loaded, resumed_best = load_checkpoint(
+            _state_payload(state), cfg.pretrained_path)
+        state = _restore_state(state, payload)
+        cfg.start_epoch = epoch_loaded + 1
+        logging.info("resumed from %s at epoch %d (best_ins %.3f)",
+                     cfg.pretrained_path, epoch_loaded, resumed_best)
+
     gan_state = gan_step = None
     if use_adapt:
         generator = build_adaptpointmodels_from_cfg(cfg.adaptmodel_gan)
@@ -260,9 +274,25 @@ def main(cfg):
             d_opt=tx_d.init(d_vars["params"]),
             step=jnp.zeros((), jnp.int32))
         gan_step = make_partseg_gan_step(generator, discriminator, tx_g, tx_d, cfg)
+        if resume and cfg.get("run_dir"):
+            gan_path = os.path.join(cfg.run_dir, "model_gan.msgpack")
+            if os.path.exists(gan_path):
+                # G/D params + batch stats (the per-epoch dump stores no
+                # optimizer moments — Adam restarts, as in adapt_main)
+                target = {"generator": {"params": gan_state.g_params,
+                                        "batch_stats": gan_state.g_bs},
+                          "discriminator": {"params": gan_state.d_params,
+                                            "batch_stats": gan_state.d_bs}}
+                merged, _, _ = load_checkpoint(target, gan_path)
+                gan_state = gan_state.replace(
+                    g_params=merged["generator"]["params"],
+                    g_bs=merged["generator"]["batch_stats"],
+                    d_params=merged["discriminator"]["params"],
+                    d_bs=merged["discriminator"]["batch_stats"])
+                logging.info("resumed GAN pair from %s", gan_path)
 
     summary = Summary(cfg.get("run_dir"))
-    best_ins = 0.0
+    best_ins = float(resumed_best or 0.0)
     for epoch in range(cfg.get("start_epoch", 1), cfg.epochs + 1):
         train_loader.set_epoch(epoch)
         lr = lr_fn(epoch - 1)

@@ -78,3 +78,60 @@ def test_adapt_mode_resume(tmp_path, caplog):
     assert load_pytree(latest)["epoch"] == 2
     # the GAN pair (G/D params + batch stats) was restored, not re-initialized
     assert any("resumed GAN pair" in r.message for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_partseg_adapt_resume(tmp_path, caplog):
+    """Part-seg adapt loop resume (reference train_adapt.py:352-362):
+    classifier + GAN pair restored, continues at epoch+1."""
+    from adaptpoint_tpu.engine.partseg_main import main
+    from test_adapt_variants_e2e import PARTSEG_MODEL
+
+    def make_cfg():
+        cfg = EasyConfig()
+        cfg.update({
+            "model": PARTSEG_MODEL,
+            "dataset": {"common": {"NAME": "SyntheticPartSeg",
+                                   "num_points": 64, "size": 32},
+                        "train": {"split": "train"},
+                        "val": {"split": "val"}},
+            "dataloader": {"num_workers": 0},
+            "datatransforms": {"train": None, "val": None},
+            "criterion_args": {"NAME": "SmoothCrossEntropy",
+                               "label_smoothing": 0.2},
+            "lr": 0.002, "optimizer": {"NAME": "adamw",
+                                       "weight_decay": 0.05},
+            "sched": "cosine", "epochs": 1, "min_lr": 1e-5, "t_max": 1,
+            "warmup_epochs": 0, "grad_norm_clip": 10, "val_freq": 1,
+            "batch_size": 8, "val_batch_size": 8, "num_classes": 8,
+            "num_points": 64, "seed": 1,
+            "mode": "adaptpoint",
+            "adaptmodel_gan": {"NAME": "AdaptPoint_Augmentor",
+                               "w_num_anchor": 4, "w_sigma": 0.5,
+                               "w_R_range": 10, "w_S_range": 3,
+                               "w_T_range": 0.25},
+            "adaptmodel_dis": {"NAME": "PointDiscriminator1",
+                               "num_classes": 8, "normal_channel": False},
+            "adaptpoint_params": {"lr_generator": 1e-4,
+                                  "lr_discriminator": 4e-4,
+                                  "b1": 0.5, "b2": 0.999,
+                                  "hardratio_std": 2, "hardratio_s": 3,
+                                  "hardratio": 3},
+        })
+        cfg.run_dir = str(tmp_path)
+        cfg.run_name = "part_resume"
+        cfg.ckpt_dir = str(tmp_path / "checkpoint")
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        return cfg
+
+    main(make_cfg())
+    latest = os.path.join(str(tmp_path / "checkpoint"),
+                          "part_resume_ckpt_latest.msgpack")
+    assert load_pytree(latest)["epoch"] == 1
+
+    cfg = make_cfg()
+    cfg.update({"resume": True, "pretrained_path": latest, "epochs": 2})
+    with caplog.at_level(logging.INFO):
+        main(cfg)
+    assert load_pytree(latest)["epoch"] == 2
+    assert any("resumed GAN pair" in r.message for r in caplog.records)
