@@ -275,8 +275,19 @@ def main(cfg):
         logging.info("test: miou %.2f macc %.2f oa %.2f", miou, macc, oa)
         return miou
 
+    # mode=resume continues in place (reference resume_checkpoint
+    # semantics: restore model+opt state, start at epoch+1, keep best)
+    resumed_best = 0.0
+    if cfg.get("pretrained_path") and cfg.get("mode") == "resume":
+        payload, epoch_loaded, resumed_best = load_checkpoint(
+            _state_payload(state), cfg.pretrained_path)
+        state = _restore_state(state, payload)
+        cfg.start_epoch = epoch_loaded + 1
+        logging.info("resumed from %s at epoch %d (best %.3f)",
+                     cfg.pretrained_path, epoch_loaded, resumed_best)
+
     summary = Summary(cfg.get("run_dir"))
-    best_miou = 0.0
+    best_miou = float(resumed_best or 0.0)
     for epoch in range(cfg.get("start_epoch", 1), cfg.epochs + 1):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)

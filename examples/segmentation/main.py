@@ -26,7 +26,8 @@ def main():
     cfg.task_name = os.path.basename(os.path.dirname(args.cfg))
     cfg.exp_name = "-".join([cfg.task_name,
                              os.path.splitext(os.path.basename(args.cfg))[0]])
-    if cfg.get("mode") == "resume" and cfg.get("pretrained_path"):
+    # resume/test/val reuse the ckpt's run dir (reference main.py:46-48)
+    if cfg.get("mode") in ("resume", "test", "val") and cfg.get("pretrained_path"):
         resume_exp_directory(cfg, cfg.pretrained_path)
     else:
         generate_exp_directory(cfg, exp_name=cfg.exp_name)

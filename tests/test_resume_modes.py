@@ -135,3 +135,60 @@ def test_partseg_adapt_resume(tmp_path, caplog):
         main(cfg)
     assert load_pytree(latest)["epoch"] == 2
     assert any("resumed GAN pair" in r.message for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_seg_mode_resume(tmp_path):
+    """Scene-seg trainer mode=resume: state restored, continues at
+    epoch+1, best-mIoU watermark carried."""
+    from adaptpoint_tpu.engine.seg_main import main
+
+    def make_cfg():
+        cfg = EasyConfig()
+        cfg.update({
+            "model": {
+                "NAME": "BaseSeg",
+                "encoder_args": {
+                    "NAME": "PointNextEncoder", "blocks": [1, 1, 1],
+                    "strides": [1, 4, 4], "width": 16, "in_channels": 4,
+                    "sa_layers": 1, "sa_use_res": False, "radius": 0.5,
+                    "nsample": 8,
+                    "group_args": {"NAME": "ballquery",
+                                   "normalize_dp": True},
+                    "norm_args": {"norm": "bn"},
+                    "act_args": {"act": "relu"},
+                    "conv_args": {"order": "conv-norm-act"}},
+                "decoder_args": {"NAME": "PointNextDecoder"},
+                "cls_args": {"NAME": "SegHead", "num_classes": 4,
+                             "norm_args": {"norm": "bn"}}},
+            "dataset": {"common": {"NAME": "SyntheticScene",
+                                   "num_points": 128, "size": 16},
+                        "train": {"split": "train"},
+                        "val": {"split": "val"}},
+            "dataloader": {"num_workers": 0},
+            "datatransforms": {"train": None, "val": None},
+            "feature_keys": "x,heights",
+            "criterion_args": {"NAME": "CrossEntropy"},
+            "lr": 0.01, "optimizer": {"NAME": "adamw",
+                                      "weight_decay": 1e-4},
+            "sched": "cosine", "epochs": 1, "min_lr": 1e-5, "t_max": 1,
+            "warmup_epochs": 0, "grad_norm_clip": 10, "val_freq": 1,
+            "batch_size": 8, "val_batch_size": 8, "num_classes": 4,
+            "seed": 0,
+        })
+        cfg.run_dir = str(tmp_path)
+        cfg.run_name = "seg_resume"
+        cfg.ckpt_dir = str(tmp_path / "checkpoint")
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        return cfg
+
+    best1 = main(make_cfg())
+    latest = os.path.join(str(tmp_path / "checkpoint"),
+                          "seg_resume_ckpt_latest.msgpack")
+    assert load_pytree(latest)["epoch"] == 1
+
+    cfg = make_cfg()
+    cfg.update({"mode": "resume", "pretrained_path": latest, "epochs": 2})
+    best2 = main(cfg)
+    assert load_pytree(latest)["epoch"] == 2
+    assert best2 >= best1
