@@ -31,13 +31,16 @@ def main():
                              os.path.splitext(os.path.basename(args.cfg))[0]])
     # resume/test/val reuse the ckpt's run dir (reference main.py:46-48);
     # resume=True is the adapt-loop resume (mode stays adaptpoint)
-    if (cfg.get("mode") in ("resume", "test", "val") or cfg.get("resume")) \
-            and cfg.get("pretrained_path"):
+    reused_dir = (cfg.get("mode") in ("resume", "test", "val") or cfg.get("resume")) \
+        and cfg.get("pretrained_path")
+    if reused_dir:
         resume_exp_directory(cfg, cfg.pretrained_path)
     else:
         generate_exp_directory(cfg, exp_name=cfg.exp_name)
     setup_logger(cfg.log_path, 0)
-    cfg.dump(os.path.join(cfg.run_dir, "cfg.yaml"))
+    # never clobber the original training cfg.yaml when reusing a run dir
+    cfg_name = f"cfg_{cfg.get('mode', 'resume')}.yaml" if reused_dir else "cfg.yaml"
+    cfg.dump(os.path.join(cfg.run_dir, cfg_name))
     logging.info("run dir: %s", cfg.run_dir)
 
     from adaptpoint_tpu.engine.partseg_main import main as run
