@@ -149,3 +149,32 @@ def test_adaptpoint_modelnet_mode_through_cli(tmp_path):
     runs = [d for d, _, files in os.walk(tmp_path) if "cfg.yaml" in files]
     assert runs, "no run dir created"
     assert any("model_gan.msgpack" in os.listdir(d) for d in runs)
+
+
+@pytest.mark.slow
+def test_cli_test_mode_preserves_training_cfg(tmp_path):
+    """mode=test on an existing run dir must not clobber the original
+    training cfg.yaml (provenance); it dumps cfg_test.yaml instead."""
+    env = dict(os.environ,
+               JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               ADAPTPOINT_TPU_KERNELS="xla")
+    cli = os.path.join(REPO, "examples/classification/main.py")
+    cfg_path = os.path.join(REPO, "cfgs/synthetic/dgcnn-tiny.yaml")
+    out = subprocess.run(
+        [sys.executable, cli, "--cfg", cfg_path, "epochs=1",
+         f"root_dir={tmp_path}"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    run_dir = next(d for d, _, files in os.walk(tmp_path)
+                   if "cfg.yaml" in files)
+    orig_cfg = open(os.path.join(run_dir, "cfg.yaml")).read()
+    ckpt = next(os.path.join(run_dir, "checkpoint", f)
+                for f in os.listdir(os.path.join(run_dir, "checkpoint"))
+                if f.endswith("_ckpt_best.msgpack"))
+    out = subprocess.run(
+        [sys.executable, cli, "--cfg", cfg_path, "mode=test",
+         f"pretrained_path={ckpt}"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert open(os.path.join(run_dir, "cfg.yaml")).read() == orig_cfg
+    assert os.path.exists(os.path.join(run_dir, "cfg_test.yaml"))
