@@ -156,14 +156,21 @@ def main(cfg):
             lr_dev = jax.numpy.asarray(lr, jax.numpy.float32)
             loss_meter = AverageMeter()
             cm = ConfusionMatrix(num_classes=cfg.num_classes)
+            from ..utils import PipelinedFetcher
+            fetch = PipelinedFetcher()
+
+            def record(fetched, y_host):
+                preds, cls_loss = fetched
+                cm.update(preds, y_host)
+                loss_meter.update(float(cls_loss))
+
             for batch in train_loader:
                 rng, sub = jax.random.split(rng)
-                y_host = batch["y"]
                 sb = shard_batch(mesh, batch)
                 gan_state, state, preds, metrics = fused_step(
                     gan_state, state, sb, sub, hr, lr_dev)
-                cm.update(np.asarray(preds), y_host)
-                loss_meter.update(float(metrics["cls_loss"]))
+                fetch.push((preds, metrics["cls_loss"]), record, batch["y"])
+            fetch.flush()
             train_loss = loss_meter.avg
             train_macc, train_oa, _ = cm.all_acc()
         elif epoch > adjust_epoch:

@@ -294,13 +294,11 @@ def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
     meters = {k: AverageMeter() for k in ("g_loss", "d_loss", "feedback")}
     hr = jnp.asarray(hardratio, jnp.float32)
     dump = cfg.get("dump_fakedata", False) and cfg.get("run_dir")
-    for i, batch in enumerate(loader):
-        rng, sub = jax.random.split(rng)
-        y_host = batch["y"]
-        x_host = batch["x"]
-        sb = shard_batch(mesh, batch)
-        gan_state, gen, metrics = gan_step(gan_state, cls_state, sb, sub, hr)
-        gen_host = np.asarray(gen)
+
+    def collect(fetched, i, y_host, x_host):
+        # host side of one step (runs one step DELAYED, overlapping the
+        # device compute of the next step — values/order are unchanged)
+        gen_host, metrics = fetched
         out_buf.append(gen_host)
         label_buf.append(np.asarray(y_host))
         pts = np.asarray(x_host).copy()
@@ -318,6 +316,15 @@ def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
             summary.add_scalar("train_G_iter/hardratio", float(hardratio),
                                summary.train_iter_num)
             summary.summary_train_iter_num_update()
+
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+    for i, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        sb = shard_batch(mesh, batch)
+        gan_state, gen, metrics = gan_step(gan_state, cls_state, sb, sub, hr)
+        fetch.push((gen, metrics), collect, i, batch["y"], batch["x"])
+    fetch.flush()
     logging.info("GAN epoch: g_loss %.4f d_loss %.4f feedback %.4f",
                  meters["g_loss"].avg, meters["d_loss"].avg,
                  meters["feedback"].avg)

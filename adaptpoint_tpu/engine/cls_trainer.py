@@ -246,23 +246,37 @@ def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None,
     scan_k = int(cfg.get("scan_batches", 1) or 1) \
         if train_step_scan is not None else 1
 
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def record(fetched, y_host):
+        loss, preds = fetched
+        cm.update(preds, y_host)
+        loss_meter.update(float(loss))
+
     def run_single(state, batch, sub):
-        y_host = batch["y"]
         sb = shard_batch(mesh, batch)
         state, loss, preds = train_step(state, sb, sub, lr)
-        cm.update(np.asarray(preds), y_host)
-        loss_meter.update(float(loss))
+        fetch.push((loss, preds), record, batch["y"])
         return state
 
     if scan_k <= 1:
         for batch in loader:
             rng, sub = jax.random.split(rng)
             state = run_single(state, batch, sub)
+        fetch.flush()
         macc, oa, accs = cm.all_acc()
         return state, loss_meter.avg, macc, oa, accs, cm
 
     from ..parallel import shard_batch_stack
     buf = []
+
+    def record_scan(fetched, y_host, k):
+        losses, preds = fetched
+        for j in range(k):
+            cm.update(preds[j], y_host[j])
+        for v in losses:
+            loss_meter.update(float(v))
 
     def flush(state, rng):
         if not buf:
@@ -272,11 +286,7 @@ def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None,
             stacked = shard_batch_stack(mesh, buf)
             y_host = np.stack([b["y"] for b in buf])
             state, losses, preds = train_step_scan(state, stacked, sub, lr)
-            preds = np.asarray(preds)
-            for j in range(len(buf)):
-                cm.update(preds[j], y_host[j])
-            for v in np.asarray(losses):
-                loss_meter.update(float(v))
+            fetch.push((losses, preds), record_scan, y_host, len(buf))
         else:  # ragged tail: single steps with per-batch folded rngs
             for j, b in enumerate(buf):
                 state = run_single(state, b, jax.random.fold_in(sub, j))
@@ -296,6 +306,7 @@ def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None,
             state, rng = flush(state, rng)
             first_shape = None
     state, rng = flush(state, rng)
+    fetch.flush()
     macc, oa, accs = cm.all_acc()
     return state, loss_meter.avg, macc, oa, accs, cm
 
@@ -306,11 +317,17 @@ def validate(eval_step, state, loader, mesh, cfg):
     Padded final batches are trimmed with n_valid; under a sharded mesh the
     confusion counts are already global (single program output)."""
     cm = ConfusionMatrix(num_classes=cfg.num_classes)
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def record(preds, y_host, n_valid):
+        cm.update(preds[:n_valid], y_host)
+
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
         y_host = batch["y"][:n_valid]
         sb = shard_batch(mesh, batch, pad_to_mesh=True)
-        preds = np.asarray(eval_step(state, sb))[:n_valid]
-        cm.update(preds, y_host)
+        fetch.push(eval_step(state, sb), record, y_host, n_valid)
+    fetch.flush()
     macc, oa, accs = cm.all_acc()
     return macc, oa, accs, cm

@@ -127,6 +127,14 @@ def train_one_epoch_rsmix(train_step_mixed, state, loader, mesh, rng, lr, cfg,
               else cfg.rsmix_params)
     lr = jnp.asarray(lr, jnp.float32)
     np_rng = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)))
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def record(fetched, y_a):
+        loss, preds = fetched
+        cm.update(preds, y_a)
+        loss_meter.update(float(loss))
+
     for batch in loader:
         rng, sub = jax.random.split(rng)
         points = np.asarray(batch["x"])
@@ -154,8 +162,8 @@ def train_one_epoch_rsmix(train_step_mixed, state, loader, mesh, rng, lr, cfg,
                                 "y_b": y_b.astype(np.int64),
                                 "lam": lam.astype(np.float32)})
         state, loss, preds = train_step_mixed(state, sb, sub, lr)
-        cm.update(np.asarray(preds), y_a)
-        loss_meter.update(float(loss))
+        fetch.push((loss, preds), record, y_a)
+    fetch.flush()
     macc, oa, accs = cm.all_acc()
     return state, loss_meter.avg, macc, oa, accs, cm
 

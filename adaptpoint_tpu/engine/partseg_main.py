@@ -92,10 +92,12 @@ def validate_partseg(eval_step, state, loader, mesh, cfg, refine: bool = False):
     ins_mious_sum = np.zeros(num_classes)
     cls_counts = np.zeros(num_classes)
     correct = total = 0
-    for batch in loader:
-        n_valid = int(batch.pop("n_valid", len(batch["y"])))
-        sb = shard_batch(mesh, batch, pad_to_mesh=True)
-        preds = np.asarray(eval_step(state, sb))[:n_valid]
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def record(preds, batch, n_valid):
+        nonlocal correct, total
+        preds = preds[:n_valid]
         y = np.asarray(batch["y"])[:n_valid]
         cls0 = np.asarray(batch["cls"]).reshape(-1)[:n_valid]
         if refine:
@@ -107,6 +109,12 @@ def validate_partseg(eval_step, state, loader, mesh, cfg, refine: bool = False):
         for c, m in zip(cls0, mious):
             ins_mious_sum[int(c)] += m
             cls_counts[int(c)] += 1
+
+    for batch in loader:
+        n_valid = int(batch.pop("n_valid", len(batch["y"])))
+        sb = shard_batch(mesh, batch, pad_to_mesh=True)
+        fetch.push(eval_step(state, sb), record, batch, n_valid)
+    fetch.flush()
     present = cls_counts > 0
     cls_mious = ins_mious_sum[present] / cls_counts[present]
     ins_miou = ins_mious_sum.sum() / max(cls_counts.sum(), 1)
@@ -301,15 +309,21 @@ def main(cfg):
         loader = train_loader
         if use_adapt:
             pos_buf, y_buf, h_buf, cls_buf = [], [], [], []
-            for batch in train_loader:
-                grng, sub = jax.random.split(grng)
-                sb = shard_batch(mesh, batch)
-                gan_state, gen, gm = gan_step(gan_state, sb, sub)
-                gen = np.asarray(gen)
+            from ..utils import PipelinedFetcher
+            gfetch = PipelinedFetcher()
+
+            def collect(gen, batch):
                 pos_buf.append(gen)
                 y_buf.append(np.asarray(batch["y"]))
                 h_buf.append(np.asarray(batch["x"])[..., 3:4])
                 cls_buf.append(np.asarray(batch["cls"]))
+
+            for batch in train_loader:
+                grng, sub = jax.random.split(grng)
+                sb = shard_batch(mesh, batch)
+                gan_state, gen, gm = gan_step(gan_state, sb, sub)
+                gfetch.push(gen, collect, batch)
+            gfetch.flush()
             fake = FormDatasetShapeNet(pos_buf, y_buf, h_buf, cls_buf)
             loader = NumpyLoader(fake, cfg.batch_size, shuffle=True,
                                  drop_last=True, seed=seed + epoch)
@@ -322,6 +336,8 @@ def main(cfg):
 
         loss_meter = AverageMeter()
         lr_dev = jnp.asarray(lr, jnp.float32)
+        from ..utils import PipelinedFetcher
+        tfetch = PipelinedFetcher()
         for batch in loader:
             rng, sub = jax.random.split(rng)
             if "x" not in batch:  # fake loader serves pos/heights
@@ -330,7 +346,8 @@ def main(cfg):
             batch.pop("heights", None)
             sb = shard_batch(mesh, batch)
             state, loss, preds = train_step(state, sb, sub, lr_dev)
-            loss_meter.update(float(loss))
+            tfetch.push(loss, lambda l: loss_meter.update(float(l)))
+        tfetch.flush()
 
         perf = {}
         if epoch % cfg.val_freq == 0:

@@ -74,11 +74,14 @@ def main(cfg):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         meter = AverageMeter()
+        from ..utils import PipelinedFetcher
+        fetch = PipelinedFetcher()
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
             sb = shard_batch(mesh, batch)
             state, loss = train_step(state, sb, sub, lr)
-            meter.update(float(loss))
+            fetch.push(loss, lambda l: meter.update(float(l)))
+        fetch.flush()
         logging.info("Pretrain epoch %d loss %.4f", epoch, meter.avg)
         summary.add_scalar("pretrain_loss", meter.avg, epoch)
         if cfg.get("run_name"):

@@ -88,11 +88,18 @@ def make_seg_steps(model, tx, criterion, cfg):
 def validate_seg(eval_step, state, loader, mesh, cfg):
     cm = ConfusionMatrix(num_classes=cfg.num_classes,
                          ignore_index=cfg.get("ignore_index"))
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def record(preds, y, n_valid):
+        cm.update(preds[:n_valid], y[:n_valid])
+
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
         sb = shard_batch(mesh, batch, pad_to_mesh=True)
-        preds = np.asarray(eval_step(state, sb))[:n_valid]
-        cm.update(preds, np.asarray(batch["y"])[:n_valid])
+        fetch.push(eval_step(state, sb), record, np.asarray(batch["y"]),
+                   n_valid)
+    fetch.flush()
     miou, macc, oa, ious, accs = get_mious(cm.tp, cm.union, cm.count)
     return miou, macc, oa, ious, accs
 
@@ -118,16 +125,22 @@ def validate_sphere(logits_step, state, loader, mesh, cfg):
     sums = [np.zeros((p.shape[0], cfg.num_classes), np.float64)
             for p in ds.sub_points]
     counts = [np.zeros(p.shape[0], np.int64) for p in ds.sub_points]
+    from ..utils import PipelinedFetcher
+    fetch = PipelinedFetcher()
+
+    def accumulate(logits, inds, clouds, n_valid):
+        for b in range(n_valid):
+            ci = int(clouds[b])
+            np.add.at(sums[ci], inds[b], logits[b])
+            np.add.at(counts[ci], inds[b], 1)
+
     for batch in loader:
         n_valid = int(batch.pop("n_valid", len(batch["y"])))
         inds = np.asarray(batch.pop("input_inds"))[:n_valid]
         clouds = np.asarray(batch.pop("cloud_index"))[:n_valid]
         sb = shard_batch(mesh, batch, pad_to_mesh=True)
-        logits = np.asarray(logits_step(state, sb))[:n_valid]
-        for b in range(n_valid):
-            ci = int(clouds[b])
-            np.add.at(sums[ci], inds[b], logits[b])
-            np.add.at(counts[ci], inds[b], 1)
+        fetch.push(logits_step(state, sb), accumulate, inds, clouds, n_valid)
+    fetch.flush()
     cm = ConfusionMatrix(num_classes=cfg.num_classes,
                          ignore_index=cfg.get("ignore_index"))
     for ci in range(len(sums)):
@@ -292,11 +305,14 @@ def main(cfg):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         loss_meter = AverageMeter()
+        from ..utils import PipelinedFetcher
+        fetch = PipelinedFetcher()
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
             sb = shard_batch(mesh, batch)
             state, loss, _ = train_step(state, sb, sub, lr)
-            loss_meter.update(float(loss))
+            fetch.push(loss, lambda l: loss_meter.update(float(l)))
+        fetch.flush()
         miou = macc = oa = 0.0
         is_best = False
         if epoch % cfg.val_freq == 0:
