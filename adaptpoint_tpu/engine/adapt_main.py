@@ -22,7 +22,8 @@ from ..metricslog import Summary
 from ..models import build_model_from_cfg
 from ..parallel import get_mesh
 from ..transforms import build_transforms_from_cfg
-from ..utils import load_checkpoint, save_checkpoint, set_random_seed
+from ..utils import (PipelinedFetcher, load_checkpoint, save_checkpoint,
+                     set_random_seed)
 from ..utils.ckpt import save_pytree
 from ..adapt.feedback import update_hardratio
 from .adapt_trainer import build_gan, make_gan_step, train_gan_epoch
@@ -156,7 +157,6 @@ def main(cfg):
             lr_dev = jax.numpy.asarray(lr, jax.numpy.float32)
             loss_meter = AverageMeter()
             cm = ConfusionMatrix(num_classes=cfg.num_classes)
-            from ..utils import PipelinedFetcher
             fetch = PipelinedFetcher()
 
             def record(fetched, y_host):

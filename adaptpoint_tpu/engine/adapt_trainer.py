@@ -32,7 +32,7 @@ from ..adapt import build_adaptpointmodels_from_cfg, feedback_loss
 from ..adapt.form_dataset import FormDatasetCls
 from ..loss import BCELoss, build_criterion_from_cfg
 from ..parallel import shard_batch
-from ..utils import AverageMeter
+from ..utils import AverageMeter, PipelinedFetcher
 
 __all__ = ["GanState", "build_gan", "make_gan_step", "train_gan_epoch"]
 
@@ -317,7 +317,6 @@ def train_gan_epoch(gan_step, gan_state: GanState, cls_state, loader, mesh,
                                summary.train_iter_num)
             summary.summary_train_iter_num_update()
 
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)

@@ -29,7 +29,8 @@ from ..ops import furthest_point_sample, gather_rows, index_points
 from ..optim import build_optimizer_from_cfg
 from ..parallel import get_mesh, shard_batch, replicate
 from ..scheduler import build_scheduler_from_cfg
-from ..utils import AverageMeter, ConfusionMatrix, save_checkpoint
+from ..utils import (AverageMeter, ConfusionMatrix, PipelinedFetcher,
+                     save_checkpoint)
 
 __all__ = ["TrainState", "build_train_tools", "train_one_epoch", "validate",
            "resample_points", "set_lr", "init_state", "make_train_step",
@@ -246,7 +247,6 @@ def train_one_epoch(train_step, state, loader, mesh, rng, lr, cfg, cm=None,
     scan_k = int(cfg.get("scan_batches", 1) or 1) \
         if train_step_scan is not None else 1
 
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def record(fetched, y_host):
@@ -317,7 +317,6 @@ def validate(eval_step, state, loader, mesh, cfg):
     Padded final batches are trimmed with n_valid; under a sharded mesh the
     confusion counts are already global (single program output)."""
     cm = ConfusionMatrix(num_classes=cfg.num_classes)
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def record(preds, y_host, n_valid):

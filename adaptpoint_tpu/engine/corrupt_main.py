@@ -28,7 +28,8 @@ from ..loss import build_criterion_from_cfg
 from ..metricslog import Summary
 from ..models import build_model_from_cfg
 from ..parallel import get_mesh, shard_batch
-from ..utils import AverageMeter, ConfusionMatrix, load_checkpoint, \
+from ..utils import AverageMeter, ConfusionMatrix, PipelinedFetcher, \
+    load_checkpoint, \
     save_checkpoint, set_random_seed
 from .adapt_main import validate_scanobjectnnc
 from .cls_main import _restore_state, _state_payload, print_cls_results
@@ -127,7 +128,6 @@ def train_one_epoch_rsmix(train_step_mixed, state, loader, mesh, rng, lr, cfg,
               else cfg.rsmix_params)
     lr = jnp.asarray(lr, jnp.float32)
     np_rng = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)))
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def record(fetched, y_a):

@@ -25,7 +25,8 @@ from ..loss import BCELoss, build_criterion_from_cfg
 from ..metricslog import Summary
 from ..models import build_model_from_cfg
 from ..parallel import get_mesh, shard_batch
-from ..utils import AverageMeter, load_checkpoint, save_checkpoint, set_random_seed
+from ..utils import (AverageMeter, PipelinedFetcher, load_checkpoint,
+                     save_checkpoint, set_random_seed)
 from ..utils.ckpt import save_pytree
 from ..utils.partseg import get_ins_mious, part_seg_refinement
 from .adapt_trainer import GanState
@@ -92,7 +93,6 @@ def validate_partseg(eval_step, state, loader, mesh, cfg, refine: bool = False):
     ins_mious_sum = np.zeros(num_classes)
     cls_counts = np.zeros(num_classes)
     correct = total = 0
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def record(preds, batch, n_valid):
@@ -309,7 +309,6 @@ def main(cfg):
         loader = train_loader
         if use_adapt:
             pos_buf, y_buf, h_buf, cls_buf = [], [], [], []
-            from ..utils import PipelinedFetcher
             gfetch = PipelinedFetcher()
 
             def collect(gen, batch):
@@ -336,7 +335,6 @@ def main(cfg):
 
         loss_meter = AverageMeter()
         lr_dev = jnp.asarray(lr, jnp.float32)
-        from ..utils import PipelinedFetcher
         tfetch = PipelinedFetcher()
         for batch in loader:
             rng, sub = jax.random.split(rng)

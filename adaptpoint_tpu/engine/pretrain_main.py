@@ -20,7 +20,8 @@ from ..models import build_model_from_cfg
 from ..optim import build_optimizer_from_cfg
 from ..parallel import get_mesh, shard_batch
 from ..scheduler import build_scheduler_from_cfg
-from ..utils import AverageMeter, save_checkpoint, set_random_seed
+from ..utils import (AverageMeter, PipelinedFetcher, save_checkpoint,
+                     set_random_seed)
 from .cls_main import _state_payload
 from .cls_trainer import TrainState, set_lr
 
@@ -74,7 +75,6 @@ def main(cfg):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         meter = AverageMeter()
-        from ..utils import PipelinedFetcher
         fetch = PipelinedFetcher()
         for batch in train_loader:
             rng, sub = jax.random.split(rng)

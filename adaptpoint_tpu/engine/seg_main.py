@@ -24,7 +24,8 @@ from ..models import build_model_from_cfg
 from ..optim import build_optimizer_from_cfg
 from ..parallel import get_mesh, shard_batch
 from ..scheduler import build_scheduler_from_cfg
-from ..utils import (AverageMeter, ConfusionMatrix, get_mious, load_checkpoint,
+from ..utils import (AverageMeter, ConfusionMatrix, PipelinedFetcher,
+                     get_mious, load_checkpoint,
                      save_checkpoint, set_random_seed)
 from .cls_main import _restore_state, _state_payload
 from .cls_trainer import TrainState, set_lr
@@ -88,7 +89,6 @@ def make_seg_steps(model, tx, criterion, cfg):
 def validate_seg(eval_step, state, loader, mesh, cfg):
     cm = ConfusionMatrix(num_classes=cfg.num_classes,
                          ignore_index=cfg.get("ignore_index"))
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def record(preds, y, n_valid):
@@ -125,7 +125,6 @@ def validate_sphere(logits_step, state, loader, mesh, cfg):
     sums = [np.zeros((p.shape[0], cfg.num_classes), np.float64)
             for p in ds.sub_points]
     counts = [np.zeros(p.shape[0], np.int64) for p in ds.sub_points]
-    from ..utils import PipelinedFetcher
     fetch = PipelinedFetcher()
 
     def accumulate(logits, inds, clouds, n_valid):
@@ -305,7 +304,6 @@ def main(cfg):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         loss_meter = AverageMeter()
-        from ..utils import PipelinedFetcher
         fetch = PipelinedFetcher()
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
