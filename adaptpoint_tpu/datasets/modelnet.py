@@ -43,10 +43,9 @@ POINTNET2_WOLFMIX_MODELNET_C = {
 
 
 def _load_h5(path):
-    import h5py
-    with h5py.File(path, "r") as f:
-        return (np.asarray(f["data"], np.float32),
-                np.asarray(f["label"]).astype(np.int64).reshape(-1))
+    # memoized: corruption sweeps re-open every -C split each sweep
+    from .data_util import load_h5_cached
+    return load_h5_cached(path)
 
 
 @DATASETS.register_module()

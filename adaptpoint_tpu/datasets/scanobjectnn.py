@@ -35,11 +35,9 @@ CORRUPTIONS = ["clean", "scale", "jitter", "rotate", "dropout_global",
 
 
 def _load_h5(path):
-    import h5py
-    with h5py.File(path, "r") as f:
-        points = np.asarray(f["data"], np.float32)
-        labels = np.asarray(f["label"]).astype(np.int64).reshape(-1)
-    return points, labels
+    # memoized: corruption sweeps re-open every -C split each sweep
+    from .data_util import load_h5_cached
+    return load_h5_cached(path)
 
 
 class _ClsPointsBase:

@@ -42,11 +42,9 @@ def _translate_pointcloud(pc: np.ndarray, rng: np.random.Generator) -> np.ndarra
 
 
 def _load_h5_seg(path):
-    import h5py
-    with h5py.File(path, "r") as f:
-        return (np.asarray(f["data"], np.float32),
-                np.asarray(f["label"]).astype(np.int64).reshape(-1),
-                np.asarray(f["pid"]).astype(np.int64))
+    # memoized: the ShapeNet-C sweep re-opens every split each sweep
+    from .data_util import load_h5_seg_cached
+    return load_h5_seg_cached(path)
 
 
 @DATASETS.register_module()
