@@ -22,10 +22,30 @@ that layout onto our flax ``{"params", "batch_stats"}`` variables:
   ZERO-filled, which is arithmetically identical (the zero bias adds
   nothing and the following BatchNorm is unchanged).
 
-Scope: the flagship PointNeXt-S classification family (single-SA-block
-stages). Deeper variants (InvResMLP blocks, ``encoder.encoder.{s}.{b>0}``)
-and seg decoders are rejected with an explicit unhandled-key list rather
-than silently partially converted.
+Covered layouts (each pinned by a ``tests/fixtures/ref_layout_*.json``
+dumped from the actual reference model, scripts/dump_ref_layouts.py):
+
+- PointNeXt single-SA-block stages (``encoder.encoder.{s}.0``) and
+  InvResMLP depth blocks (``encoder.encoder.{s}.{b>0}.convs.convs`` +
+  ``pwconv`` — PointNeXt-B/L/XL, reference pointnext.py:229-276);
+- ClsHead (``prediction.head``), SegHead (``head.head``,
+  reference base_seg.py:93-160);
+- PointNextDecoder / PointNextPartDecoder FP stacks
+  (``decoder.decoder.{i}.0.convs`` + part-seg ``decoder.global_conv{1,2}``
+  / ``decoder.convc`` class embeddings, pointnext.py:459-663);
+- PointNet2Encoder (``encoder.SA_modules.{s}.local_aggregations.0
+  .SA_CONFIG_operator.convs``, pointnetv2.py:149);
+- DGCNN (``encoder.head.gconv.nn`` / ``encoder.backbone.{i}.gconv.nn`` /
+  ``encoder.fusion_block``, dgcnn.py:12);
+- the AdaptPoint GAN pair as saved by the reference trainer's
+  ``save_ganmodel`` (train_autoaug.py:71-78):
+  AdaptPoint_Augmentor (generator_component4_15.py:118) via
+  :func:`convert_reference_generator` and the spectral-norm
+  PointDiscriminator1 (point_discriminator.py:16) via
+  :func:`convert_reference_discriminator`.
+
+Anything else is rejected with an explicit unhandled-key list rather than
+silently partially converted.
 """
 from __future__ import annotations
 
@@ -34,12 +54,23 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["convert_reference_state_dict", "ConversionReport"]
+__all__ = ["convert_reference_state_dict", "convert_reference_generator",
+           "convert_reference_discriminator", "ConversionReport"]
 
 _STAGE = re.compile(r"^encoder\.encoder\.(\d+)\.(\d+)\.(.+)$")
 _CONV = re.compile(r"^convs\.(\d+)\.([01])\.(.+)$")
+_LACONV = re.compile(r"^convs\.convs\.(\d+)\.([01])\.(.+)$")
+_PWCONV = re.compile(r"^pwconv\.(\d+)\.([01])\.(.+)$")
 _SKIP = re.compile(r"^skipconv\.0\.(weight|bias)$")
 _HEAD = re.compile(r"^prediction\.head\.(\d+)\.([01])\.(.+)$")
+_SEGHEAD = re.compile(r"^head\.head\.(\d+)\.([01])\.(.+)$")
+_DEC = re.compile(r"^decoder\.decoder\.(\d+)\.(\d+)\.convs\.(\d+)\.([01])\.(.+)$")
+_DEC_GLOBAL = re.compile(r"^decoder\.(global_conv[12]|convc)\.0\.0\.(weight|bias)$")
+_PN2 = re.compile(r"^encoder\.SA_modules\.(\d+)\.local_aggregations\.(\d+)\."
+                  r"SA_CONFIG_operator\.convs\.(\d+)\.([01])\.(.+)$")
+_DGCNN_HEAD = re.compile(r"^encoder\.head\.gconv\.nn\.([01])\.(.+)$")
+_DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([01])\.(.+)$")
+_DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([01])\.(.+)$")
 
 _BN_PARAM = {"weight": "scale", "bias": "bias"}
 _BN_STAT = {"running_mean": "mean", "running_var": "var"}
@@ -69,42 +100,71 @@ def _dense_kernel(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T.astype(np.float32))
 
 
+def _pair(sub: str, leaf: str, dense_path: str, bn_path: str):
+    """Triple for one leaf of a torch ``[conv|linear, BatchNorm]`` pair.
+
+    ``sub`` is the Sequential slot ('0' = conv/linear, '1' = BN);
+    ``dense_path``/``bn_path`` are the target flax module paths."""
+    if sub == "0":
+        if leaf == "weight":
+            return "params", f"{dense_path}/kernel", _dense_kernel
+        if leaf == "bias":
+            return "params", f"{dense_path}/bias", None
+    else:
+        if leaf in _BN_PARAM:
+            return "params", f"{bn_path}/{_BN_PARAM[leaf]}", None
+        if leaf in _BN_STAT:
+            return "batch_stats", f"{bn_path}/{_BN_STAT[leaf]}", None
+        if leaf == "num_batches_tracked":
+            return "drop", leaf, None
+    return None
+
+
+def _convblock(sub: str, leaf: str, base: str):
+    """A torch conv+BN pair mapped onto our ConvBlock/LinearBlock tree."""
+    return _pair(sub, leaf, f"{base}/Dense_0", f"{base}/NormAct_0/BatchNorm_0")
+
+
 def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
     """(collection, 'a/b/c' path, transform) for one reference key, or
     ('drop'|'unhandled', key, None)."""
     m = _STAGE.match(key)
     if m:
         stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
-        if block != 0:
+        if block == 0:
+            # SA block (pointnext.py:81-170) -> SetAbstraction enc{s}_sa
+            enc = f"encoder/enc{stage}_sa"
+            mc = _CONV.match(rest)
+            if mc:
+                j, sub, leaf = int(mc.group(1)), mc.group(2), mc.group(3)
+                out = _convblock(sub, leaf, f"{enc}/ConvBlock_{j}")
+                if out is not None:
+                    return ("drop", key, None) if out[0] == "drop" else out
+                return "unhandled", key, None
+            ms = _SKIP.match(rest)
+            if ms:
+                leaf = ms.group(1)
+                if leaf == "weight":
+                    return "params", f"{enc}/skipconv/kernel", _dense_kernel
+                return "params", f"{enc}/skipconv/bias", None
             return "unhandled", key, None
-        enc = f"encoder/enc{stage}_sa"
-        mc = _CONV.match(rest)
+        # InvResMLP depth block (pointnext.py:229-276) -> enc{s}_b{b}:
+        # convs.convs.{j} = LocalAggregation shared MLP, pwconv.{i} = the
+        # pointwise chain
+        blk = f"encoder/enc{stage}_b{block}"
+        mc = _LACONV.match(rest)
         if mc:
             j, sub, leaf = int(mc.group(1)), mc.group(2), mc.group(3)
-            base = f"{enc}/ConvBlock_{j}"
-            if sub == "0":  # conv
-                if leaf == "weight":
-                    return "params", f"{base}/Dense_0/kernel", _dense_kernel
-                if leaf == "bias":
-                    return "params", f"{base}/Dense_0/bias", None
-            else:  # batch norm
-                if leaf in _BN_PARAM:
-                    return ("params",
-                            f"{base}/NormAct_0/BatchNorm_0/{_BN_PARAM[leaf]}",
-                            None)
-                if leaf in _BN_STAT:
-                    return ("batch_stats",
-                            f"{base}/NormAct_0/BatchNorm_0/{_BN_STAT[leaf]}",
-                            None)
-                if leaf == "num_batches_tracked":
-                    return "drop", key, None
-            return "unhandled", key, None
-        ms = _SKIP.match(rest)
-        if ms:
-            leaf = ms.group(1)
-            if leaf == "weight":
-                return "params", f"{enc}/skipconv/kernel", _dense_kernel
-            return "params", f"{enc}/skipconv/bias", None
+            out = _convblock(sub, leaf, f"{blk}/LocalAggregation_0/ConvBlock_{j}")
+        else:
+            mp = _PWCONV.match(rest)
+            if mp:
+                i, sub, leaf = int(mp.group(1)), mp.group(2), mp.group(3)
+                out = _convblock(sub, leaf, f"{blk}/ConvBlock_{i}")
+            else:
+                out = None
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
 
     m = _HEAD.match(key)
@@ -113,24 +173,276 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
         # a Linear followed by BatchNorm at .1 is LinearBlock_{i//2};
         # the final classifier Linear has a bias and no norm sibling
         has_bn = f"prediction.head.{i}.1.weight" in sd_keys
-        if sub == "0":
-            base = (f"prediction/LinearBlock_{i // 2}/Dense_0" if has_bn
-                    else "prediction/Dense_0")
-            if leaf == "weight":
-                return "params", f"{base}/kernel", _dense_kernel
-            if leaf == "bias":
-                return "params", f"{base}/bias", None
+        if has_bn:
+            out = _convblock(sub, leaf, f"prediction/LinearBlock_{i // 2}")
         else:
-            base = f"prediction/LinearBlock_{i // 2}/NormAct_0/BatchNorm_0"
-            if leaf in _BN_PARAM:
-                return "params", f"{base}/{_BN_PARAM[leaf]}", None
-            if leaf in _BN_STAT:
-                return "batch_stats", f"{base}/{_BN_STAT[leaf]}", None
-            if leaf == "num_batches_tracked":
-                return "drop", key, None
+            out = _pair(sub, leaf, "prediction/Dense_0", "")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _SEGHEAD.match(key)
+    if m:
+        # SegHead (base_seg.py:93-160): convblocks at even slots (dropout
+        # odd), final Conv1d-with-bias (no BN sibling) -> head/Dense_0
+        i, sub, leaf = int(m.group(1)), m.group(2), m.group(3)
+        has_bn = f"head.head.{i}.1.weight" in sd_keys
+        if has_bn:
+            out = _convblock(sub, leaf, f"head/ConvBlock_{i // 2}")
+        else:
+            out = _pair(sub, leaf, "head/Dense_0", "")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _DEC.match(key)
+    if m:
+        # PointNextDecoder / PartDecoder FP stage (pointnext.py:459-663);
+        # decoder_blocks > 1 (extra InvResMLP blocks inside a decoder
+        # stage) is out of scope -> unhandled
+        stage, block, j, sub, leaf = (int(m.group(1)), int(m.group(2)),
+                                      int(m.group(3)), m.group(4), m.group(5))
+        if block != 0:
+            return "unhandled", key, None
+        out = _convblock(sub, leaf, f"decoder/fp{stage}/ConvBlock_{j}")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _DEC_GLOBAL.match(key)
+    if m:
+        # part-seg class-embedding convs (pointnext.py:541-556): plain
+        # conv + bias, no norm
+        name, leaf = m.group(1), m.group(2)
+        if leaf == "weight":
+            return "params", f"decoder/{name}/Dense_0/kernel", _dense_kernel
+        return "params", f"decoder/{name}/Dense_0/bias", None
+
+    m = _PN2.match(key)
+    if m:
+        # PointNet2 SA stage (pointnetv2.py:149): one local aggregation per
+        # stage in the classic protocol (multi-block = ASSANet, out of scope)
+        s, b, j, sub, leaf = (int(m.group(1)), int(m.group(2)),
+                              int(m.group(3)), m.group(4), m.group(5))
+        if b != 0:
+            return "unhandled", key, None
+        out = _convblock(sub, leaf, f"encoder/sa{s}/ConvBlock_{j}")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _DGCNN_HEAD.match(key)
+    if m:
+        out = _convblock(m.group(1), m.group(2), "encoder/head/ConvBlock_0")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _DGCNN_BLOCK.match(key)
+    if m:
+        out = _convblock(m.group(2), m.group(3),
+                         f"encoder/block{m.group(1)}/ConvBlock_0")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _DGCNN_FUSION.match(key)
+    if m:
+        # fusion_block is itself the ConvBlock module (named 'fusion')
+        out = _convblock(m.group(1), m.group(2), "encoder/fusion")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
 
     return "unhandled", key, None
+
+
+# AdaptPoint_Augmentor sites (generator_component4_15.py:588-718
+# SAComponent) -> our adapt/augmentor.py module names. Each row: source
+# prefix under ``predict_prob_layer.`` (conv at .0, BN at .1) -> (Dense
+# module path, BatchNorm module path) under ``predict_prob_layer/``.
+_GEN_PAIR_SITES = [
+    (re.compile(r"^embedding\.net\.([01])\.(.+)$"),
+     lambda m: ("embedding/Dense_0", "embedding/BatchNorm_0")),
+    (re.compile(r"^extract_feat_list\.(\d+)\.net\.([01])\.(.+)$"),
+     lambda m: (f"pre{m.group(1)}/Dense_0", f"pre{m.group(1)}/BatchNorm_0")),
+    (re.compile(r"^decode_list\.(\d+)\.fuse\.net\.([01])\.(.+)$"),
+     lambda m: (f"fp{m.group(1)}/ConvBNReLU_0/Dense_0",
+                f"fp{m.group(1)}/ConvBNReLU_0/BatchNorm_0")),
+    (re.compile(r"^head\.global_layer\.([01])\.(.+)$"),
+     lambda m: ("head/global_conv", "head/global_bn")),
+    (re.compile(r"^head\.prob_head\.([01])\.(.+)$"),
+     lambda m: ("head/prob_head", "head/prob_bn")),
+    (re.compile(r"^head\.anchor_selfattention\.pos_embedding\.([01])\.(.+)$"),
+     lambda m: ("head/anchor_attn/pos_embedding", "head/anchor_attn/pos_bn")),
+    (re.compile(r"^head\.anchor_selfattention\.res\.([01])\.(.+)$"),
+     lambda m: ("head/anchor_attn/res", "head/anchor_attn/res_bn")),
+    (re.compile(r"^localfeat_mask_selfattention\.pos_embedding\.([01])\.(.+)$"),
+     lambda m: ("mask_attn/pos_embedding", "mask_attn/pos_bn")),
+    (re.compile(r"^localfeat_mask_selfattention\.res\.([01])\.(.+)$"),
+     lambda m: ("mask_attn/res", "mask_attn/res_bn")),
+    (re.compile(r"^extract_local_feat_masking\.([01])\.(.+)$"),
+     lambda m: ("mask_local", "mask_local_bn")),
+    (re.compile(r"^extract_global_feat_masking\.([01])\.(.+)$"),
+     lambda m: ("mask_global", "mask_global_bn")),
+    (re.compile(r"^fuse_masking\.([01])\.(.+)$"),
+     lambda m: ("mask_fuse", "mask_fuse_bn")),
+]
+_GEN_QKV = re.compile(
+    r"^(head\.anchor_selfattention|localfeat_mask_selfattention)"
+    r"\.to_qkv\.weight$")
+_GEN_QKV_DST = {"head.anchor_selfattention": "head/anchor_attn",
+                "localfeat_mask_selfattention": "mask_attn"}
+_GEN_AFFINE = re.compile(
+    r"^pointset_grouper_list\.(\d+)\.(affine_alpha|affine_beta)$")
+
+
+def _translate_generator(key: str) -> Tuple[str, str, Any]:
+    pfx = "predict_prob_layer."
+    if not key.startswith(pfx):
+        return "unhandled", key, None
+    rest = key[len(pfx):]
+    root = "predict_prob_layer"
+    for rx, dst in _GEN_PAIR_SITES:
+        m = rx.match(rest)
+        if m:
+            dense, bn = dst(m)
+            sub, leaf = m.group(m.lastindex - 1), m.group(m.lastindex)
+            out = _pair(sub, leaf, f"{root}/{dense}", f"{root}/{bn}")
+            if out is not None:
+                return ("drop", key, None) if out[0] == "drop" else out
+            return "unhandled", key, None
+    m = _GEN_QKV.match(rest)
+    if m:
+        return ("params", f"{root}/{_GEN_QKV_DST[m.group(1)]}/to_qkv/kernel",
+                _dense_kernel)
+    m = _GEN_AFFINE.match(rest)
+    if m:
+        return "params", f"{root}/grouper{m.group(1)}/{m.group(2)}", None
+    return "unhandled", key, None
+
+
+def convert_reference_generator(sd: Dict[str, Any],
+                                variables: Dict[str, Any], strict=True):
+    """Map a reference AdaptPoint_Augmentor state_dict onto our flax
+    augmentor variables (same contract as convert_reference_state_dict)."""
+    return _convert(sd, variables, _translate_generator, strict,
+                    zero_fill=lambda coll, path: False)
+
+
+# PointDiscriminator1 (point_discriminator.py:16-73): every layer is
+# spectral-normed (torch parametrize keys). Module name map:
+_DIS_MODULES = {
+    "sa1.mlp_convs.0": "sa_conv0", "sa1.mlp_convs.1": "sa_conv1",
+    "sa1.mlp_convs.2": "sa_conv2",
+    "fc1": "fc0", "fc2": "fc1", "fc3": "fc2",
+    "prob_head.0": "prob_head",
+}
+
+
+def convert_reference_discriminator(sd: Dict[str, Any],
+                                    variables: Dict[str, Any], strict=True):
+    """Map a reference PointDiscriminator1 state_dict onto our flax
+    discriminator variables.
+
+    torch ``parametrizations.weight.original`` is the RAW weight (the
+    effective weight is ``original / sigma`` with sigma estimated by power
+    iteration); flax.linen.SpectralNorm keeps the raw kernel in params and
+    re-runs power iteration from the stored ``u`` each call, so the faithful
+    mapping is: original -> kernel (transposed), ``_u`` -> u (as (1, out)),
+    and sigma = u^T W v from the stored vectors (torch's eval-mode value;
+    flax recomputes it anyway)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    report = ConversionReport()
+    # flax SpectralNorm leaf NAMES contain slashes ('fc0/kernel/sigma'), so
+    # flatten with tuple paths here instead of joined strings
+    target_flat = {c: _flatten_tuples(variables.get(c, {})) for c in
+                   ("params", "batch_stats")}
+    out = {c: {} for c in target_flat}
+    covered = {c: set() for c in target_flat}
+    errors: List[str] = []
+
+    def _leaf_path(coll, *, leaf_suffix=None, parts=None):
+        if parts is not None:
+            return parts if parts in target_flat[coll] else None
+        hits = [p for p in target_flat[coll] if p[-1].endswith(leaf_suffix)]
+        if len(hits) != 1:
+            errors.append(f"{leaf_suffix}: {len(hits)} target matches")
+            return None
+        return hits[0]
+
+    def _put(coll, path, src_key, val):
+        if path is None or path not in target_flat[coll]:
+            errors.append(f"{src_key} -> {coll}:{path} (no such target leaf)")
+            return
+        want = tuple(np.shape(target_flat[coll][path]))
+        if tuple(val.shape) != want:
+            errors.append(f"{src_key} -> {coll}:{path}: shape {val.shape} "
+                          f"vs model {want}")
+            return
+        node = out[coll]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(val, np.float32)
+        covered[coll].add(path)
+        report.mapped.append((src_key, f"{coll}:{'/'.join(path)}"))
+
+    handled = set()
+    for src, name in _DIS_MODULES.items():
+        w_key = f"{src}.parametrizations.weight.original"
+        u_key = f"{src}.parametrizations.weight.0._u"
+        v_key = f"{src}.parametrizations.weight.0._v"
+        b_key = f"{src}.bias"
+        if w_key not in sd:
+            continue
+        w = np.asarray(sd[w_key], np.float32)
+        mat = w.reshape(w.shape[0], -1)           # torch weight_mat (out, in)
+        _put("params", _leaf_path("params", parts=(name, "kernel")),
+             w_key, _dense_kernel(w))
+        if b_key in sd:
+            _put("params", _leaf_path("params", parts=(name, "bias")),
+                 b_key, np.asarray(sd[b_key]))
+            handled.add(b_key)
+        handled.add(w_key)
+        if u_key in sd and v_key in sd:
+            u = np.asarray(sd[u_key], np.float32)
+            v = np.asarray(sd[v_key], np.float32)
+            sigma = float(u @ mat @ v)
+            _put("batch_stats",
+                 _leaf_path("batch_stats", leaf_suffix=f"{name}/kernel/u"),
+                 u_key, u.reshape(1, -1))
+            _put("batch_stats",
+                 _leaf_path("batch_stats",
+                            leaf_suffix=f"{name}/kernel/sigma"),
+                 v_key, np.asarray(sigma, np.float32))
+            handled.update((u_key, v_key))
+
+    report.unhandled = [k for k in sd if k not in handled]
+    for coll, flat in target_flat.items():
+        report.missing += [f"{coll}:{'/'.join(p)}" for p in flat
+                           if p not in covered[coll]]
+    if strict and (errors or report.unhandled or report.missing):
+        raise ValueError(
+            "reference discriminator conversion failed:\n  errors: "
+            f"{errors[:10]}\n  unhandled: {report.unhandled[:10]}\n  "
+            f"missing: {report.missing[:10]}\n  ({report.summary()})")
+    new_vars = dict(variables)
+    for coll in out:
+        if target_flat[coll]:
+            new_vars[coll] = out[coll]
+    return new_vars, report
+
+
+def _flatten_tuples(tree, prefix=()) -> Dict[tuple, Any]:
+    out = {}
+    for k, v in tree.items():
+        p = prefix + (str(k),)
+        if isinstance(v, dict):
+            out.update(_flatten_tuples(v, p))
+        else:
+            out[p] = v
+    return out
 
 
 def _flatten(tree, prefix="") -> Dict[str, Any]:
@@ -152,22 +464,14 @@ def _set_path(tree: dict, path: str, value) -> None:
     node[parts[-1]] = value
 
 
-def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
-                                 strict: bool = True):
-    """Map a reference torch ``state_dict`` onto our model ``variables``.
+def _zero_fill_model(coll: str, path: str) -> bool:
+    """Target leaves our modules declare that the reference does not have:
+    ZERO-filled (arithmetically identical — see module docstring)."""
+    return (coll == "params" and path.startswith("prediction/LinearBlock")
+            and path.endswith("Dense_0/bias"))
 
-    ``sd``: {torch key: array-like} — tensors or numpy arrays (values are
-    converted with ``np.asarray``; pass ``{k: v.numpy() for ...}`` or let
-    this handle cpu tensors directly).
-    ``variables``: the target ``model.init(...)`` output — used for
-    structural validation; returned tree has the same structure with
-    converted values.
 
-    Returns ``(new_variables, ConversionReport)``. With ``strict=True``
-    raises ValueError on unhandled source keys, shape mismatches, or
-    uncovered target leaves (other than the documented zero-filled head
-    biases).
-    """
+def _convert(sd, variables, translate, strict, zero_fill):
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
     report = ConversionReport()
@@ -178,7 +482,7 @@ def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
 
     errors: List[str] = []
     for key in sorted(sd):
-        coll, path, tf = _translate(key, sd.keys())
+        coll, path, tf = translate(key)
         if coll == "drop":
             report.dropped.append(key)
             continue
@@ -199,13 +503,12 @@ def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
         covered[coll].add(path)
         report.mapped.append((key, f"{coll}:{path}"))
 
-    # zero-fill the documented bias gap; anything else uncovered is an error
+    # zero-fill the documented bias gaps; anything else uncovered is an error
     for coll, flat in target_flat.items():
         for path, leaf in flat.items():
             if path in covered[coll]:
                 continue
-            if (coll == "params" and path.startswith("prediction/LinearBlock")
-                    and path.endswith("Dense_0/bias")):
+            if zero_fill(coll, path):
                 _set_path(out[coll], path, np.zeros(np.shape(leaf), np.float32))
                 report.zero_filled.append(path)
             else:
@@ -222,3 +525,25 @@ def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
         if target_flat[coll]:
             new_vars[coll] = out[coll]
     return new_vars, report
+
+
+def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
+                                 strict: bool = True):
+    """Map a reference torch ``state_dict`` onto our model ``variables``.
+
+    ``sd``: {torch key: array-like} — tensors or numpy arrays (values are
+    converted with ``np.asarray``; pass ``{k: v.numpy() for ...}`` or let
+    this handle cpu tensors directly).
+    ``variables``: the target ``model.init(...)`` output — used for
+    structural validation; returned tree has the same structure with
+    converted values.
+
+    Returns ``(new_variables, ConversionReport)``. With ``strict=True``
+    raises ValueError on unhandled source keys, shape mismatches, or
+    uncovered target leaves (other than the documented zero-filled head
+    biases).
+    """
+    keys = set(sd.keys()) | {k[len("module."):] for k in sd
+                             if k.startswith("module.")}
+    return _convert(sd, variables, lambda k: _translate(k, keys),
+                    strict, _zero_fill_model)
