@@ -51,6 +51,227 @@ def _synth(rows, seed):
     return out
 
 
+def _torch_fps(xyz, npoint):
+    """Pure-torch greedy FPS with the reference CUDA semantics
+    (sampling_gpu.cu:101-216): start at index 0, running min-dist vector,
+    argmax picks the next center (first index on ties)."""
+    B, N, _ = xyz.shape
+    idx = torch.zeros(B, npoint, dtype=torch.long)
+    dist = torch.full((B, N), 1e10)
+    last = torch.zeros(B, dtype=torch.long)
+    for i in range(npoint):
+        idx[:, i] = last
+        d = ((xyz - xyz[torch.arange(B), last][:, None]) ** 2).sum(-1)
+        dist = torch.minimum(dist, d)
+        last = dist.argmax(-1)
+    return idx.int()
+
+
+def _torch_ball_query(radius, nsample, support, query):
+    """Pure-torch ball query with the reference CUDA semantics
+    (ball_query_gpu.cu:16-51): first nsample in-index-order support points
+    with d2 < r^2, empty slots padded with the FIRST in-ball index."""
+    d2 = ((query[:, :, None] - support[:, None]) ** 2).sum(-1)  # (B,M,N)
+    inball = d2 < radius * radius
+    N = support.shape[1]
+    ar = torch.arange(N)
+    key = torch.where(inball, ar.expand_as(inball), torch.tensor(N))
+    sortv, _ = key.sort(dim=-1)
+    sel = sortv[..., :nsample]
+    first = key.min(dim=-1).values  # first in-ball index (center itself)
+    return torch.where(sel >= N, first.unsqueeze(-1), sel).int()
+
+
+def _patch_reference_ops():
+    """Swap the reference's CUDA kernel entry points for pure-torch
+    equivalents implementing the documented kernel semantics, so the REAL
+    reference model forwards (SA blocks, groupers, FP decode) run on CPU."""
+    import openpoints.models.backbone.pointnext as ref_pointnext
+    import openpoints.models.backbone.pointnetv2 as ref_pnv2
+    import openpoints.models.layers.group as ref_group
+    import openpoints.models.layers.graph_conv as ref_graph_conv
+    from openpoints.models.layers.group import torch_grouping_operation
+
+    def _grouping(feats, idx):
+        return torch_grouping_operation(feats, idx.long())
+
+    def _three_interpolation(unknown_xyz, known_xyz, know_feat):
+        # upsampling.py:92-102 semantics; three_nn returns sqrt distances
+        d = torch.cdist(unknown_xyz, known_xyz)
+        d3, idx = d.topk(3, dim=-1, largest=False)
+        dist_recip = 1.0 / (d3 + 1e-8)
+        weight = dist_recip / dist_recip.sum(-1, keepdim=True)
+        grouped = torch_grouping_operation(know_feat, idx)  # (B,C,N,3)
+        return (grouped * weight.unsqueeze(1)).sum(-1)
+
+    ref_pointnext.furthest_point_sample = _torch_fps
+    ref_pnv2.furthest_point_sample = _torch_fps
+    ref_pointnext.three_interpolation = _three_interpolation
+    ref_group.ball_query = _torch_ball_query
+    ref_group.grouping_operation = _grouping
+    ref_graph_conv.grouping_operation = _grouping
+
+
+def _unit_cloud(B, N, seed):
+    g = torch.Generator().manual_seed(seed)
+    pos = torch.randn(B, N, 3, generator=g)
+    pos = pos - pos.mean(dim=1, keepdim=True)
+    pos = pos / pos.norm(dim=-1).max(dim=1, keepdim=True).values[..., None]
+    heights = pos[..., 1:2] - pos[..., 1:2].min(dim=1, keepdim=True).values
+    return pos, torch.cat([pos, heights], dim=-1)
+
+
+@pytest.mark.slow
+def test_pointnext_s_reference_logit_parity():
+    """FLAGSHIP path: the reference PointNeXt-S BaseCls forward (real SA
+    blocks/groupers, CUDA ops replaced by pure-torch semantic equivalents)
+    vs our converted flax model."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointnext_s_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointnext_s_cls.json")))
+    sd = _synth(rows, seed=13)
+    for k in list(sd):
+        if ".1.weight" in k:
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 256
+    pos_t, x_t = _unit_cloud(B, N, seed=17)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/pointnext-s.yaml"),
+             recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_pointnet2_reference_logit_parity():
+    """PointNet++ classification: reference ConvPool SA stages + GroupAll
+    final stage vs our converted flax model."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointnet2_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointnet2_cls.json")))
+    sd = _synth(rows, seed=19)
+    for k in list(sd):
+        if ".1.weight" in k:
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 128
+    pos_t, x_t = _unit_cloud(B, N, seed=23)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/pointnet++.yaml"),
+             recursive=True)
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_partseg_reference_logit_parity():
+    """Part-seg: reference BasePartSeg (PartDecoder FP decode + curvenet
+    class conditioning + SegHead) vs our converted flax model."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointnext_s_partseg"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointnext_s_partseg.json")))
+    sd = _synth(rows, seed=29)
+    for k in list(sd):
+        if ".1.weight" in k:
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 128
+    pos_t, x_t = _unit_cloud(B, N, seed=31)
+    cls_t = torch.tensor([[3], [7]], dtype=torch.long)
+    with torch.no_grad():
+        ref_out = ref_model({"pos": pos_t,
+                             "x": x_t.permute(0, 2, 1).contiguous(),
+                             "cls": cls_t})
+    ref_out = ref_out.numpy()  # (B, 50, N)
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/shapenetpart/pointnext-s.yaml"),
+             recursive=True)
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    cls0 = jnp.asarray(cls_t.numpy().reshape(-1))
+    variables = model.init(jax.random.PRNGKey(0), pos, x, cls0,
+                           training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing
+
+    out = np.asarray(model.apply(new_vars, pos, x, cls0, training=False))
+    np.testing.assert_allclose(out.transpose(0, 2, 1), ref_out,
+                               rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_dgcnn_reference_logit_parity():
     ref = pytest.importorskip("torch")  # noqa: F841 (env guard)
