@@ -172,6 +172,56 @@ def test_pointnext_s_reference_logit_parity():
 
 
 @pytest.mark.slow
+def test_pointnext_b_reference_logit_parity():
+    """InvResMLP depth stages (PointNeXt-B protocol): pins the
+    LocalAggregation self-grouping + pwconv chain + residual wiring."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    spec = mod.SPECS["pointnext_b_cls"]
+    ref_model = build_ref(mod._attrdict(spec))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointnext_b_cls.json")))
+    sd = _synth(rows, seed=37)
+    for k in list(sd):
+        if ".1.weight" in k:
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 256
+    pos_t, x_t = _unit_cloud(B, N, seed=41)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    # our model from the same args the fixture was dumped with
+    ours_spec = {
+        "NAME": "BaseCls",
+        "encoder_args": {k: v for k, v in spec["encoder_args"].items()},
+        "cls_args": {k: v for k, v in spec["cls_args"].items()}}
+    model = build_model_from_cfg(ours_spec)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
 def test_pointnet2_reference_logit_parity():
     """PointNet++ classification: reference ConvPool SA stages + GroupAll
     final stage vs our converted flax model."""
