@@ -323,6 +323,53 @@ def test_partseg_reference_logit_parity():
 
 
 @pytest.mark.slow
+def test_discriminator_reference_prob_parity():
+    """PointDiscriminator1 (pure-torch group-all PointNet — CPU-runnable):
+    the reference eval forward vs our converted flax model.
+
+    Spectral norm nuance: torch eval uses the CACHED u/v; flax recomputes
+    one power iteration from the stored u each call. At the power-iteration
+    fixed point both agree, so the torch model first runs ~100 train-mode
+    forwards (each updates u/v once) to converge u/v, and the parity is
+    checked on the converged state."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    from openpoints.models_adaptpoint import build_adaptpointmodels_from_cfg
+
+    ref_d = build_adaptpointmodels_from_cfg(
+        mod._attrdict(mod.GAN_SPECS["discriminator"]))
+    g = torch.Generator().manual_seed(43)
+    with torch.no_grad():
+        for p in ref_d.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    cloud_t = torch.randn(2, 96, 3, generator=g)
+    ref_d.train()
+    with torch.no_grad():
+        for _ in range(100):  # converge every layer's power iteration
+            ref_d(cloud_t)
+    ref_d.eval()
+    with torch.no_grad():
+        ref_prob = ref_d(cloud_t).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+
+    from adaptpoint_tpu.adapt.discriminator import PointDiscriminator1
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_discriminator)
+
+    dis = PointDiscriminator1(num_classes=15)
+    cloud = jnp.asarray(cloud_t.numpy())
+    d_vars = dis.init({"params": jax.random.PRNGKey(0)}, cloud,
+                      training=False)
+    d_new, report = convert_reference_discriminator(sd, d_vars)
+    assert not report.unhandled and not report.missing
+    prob = np.asarray(dis.apply(d_new, cloud, training=False))
+    np.testing.assert_allclose(prob, ref_prob, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_dgcnn_reference_logit_parity():
     ref = pytest.importorskip("torch")  # noqa: F841 (env guard)
     if not os.path.isdir("/root/reference"):
