@@ -75,8 +75,10 @@ def _n_tensors(rows):
     return sum(1 for k, _ in rows if not k.endswith("num_batches_tracked"))
 
 
+@pytest.mark.slow
 def test_invresmlp_roundtrip():
-    """PointNeXt-B-style stages: SA block + InvResMLP depth blocks."""
+    """PointNeXt-B-style stages: SA block + InvResMLP depth blocks.
+    (slow tier: forward-compile dominated, ~13s on the 1-vCPU box)"""
     from adaptpoint_tpu.models import build_model_from_cfg
 
     # mirrors scripts/dump_ref_layouts.py SPECS['pointnext_b_cls']
@@ -195,8 +197,11 @@ def test_dgcnn_roundtrip():
     assert logits.shape == (2, 15) and np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_gan_pair_roundtrip():
-    """The reference model_gan.pth pair: augmentor + SN discriminator."""
+    """The reference model_gan.pth pair: augmentor + SN discriminator.
+    (slow tier: augmentor forward-compile dominated, ~17s; the fast tier
+    keeps GAN conversion smoke via test_gan_cli_roundtrip)"""
     from adaptpoint_tpu.adapt.augmentor import AdaptPoint_Augmentor
     from adaptpoint_tpu.adapt.discriminator import PointDiscriminator1
 
