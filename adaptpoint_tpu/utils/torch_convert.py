@@ -55,7 +55,8 @@ from typing import Any, Dict, List, Tuple
 import numpy as np
 
 __all__ = ["convert_reference_state_dict", "convert_reference_generator",
-           "convert_reference_discriminator", "ConversionReport"]
+           "convert_reference_discriminator", "export_reference_state_dict",
+           "ConversionReport"]
 
 _STAGE = re.compile(r"^encoder\.encoder\.(\d+)\.(\d+)\.(.+)$")
 _CONV = re.compile(r"^convs\.(\d+)\.([01])\.(.+)$")
@@ -525,6 +526,74 @@ def _convert(sd, variables, translate, strict, zero_fill):
         if target_flat[coll]:
             new_vars[coll] = out[coll]
     return new_vars, report
+
+
+def export_reference_state_dict(variables: Dict[str, Any], layout_rows,
+                                strict: bool = True):
+    """EXPORT our flax ``variables`` as a reference torch ``state_dict``
+    (the inverse of :func:`convert_reference_state_dict`) — the migration
+    escape hatch: a model trained here loads into the reference code.
+
+    ``layout_rows``: the target reference layout as ``[key, shape]`` pairs
+    (a ``tests/fixtures/ref_layout_*.json`` fixture, or the live
+    ``[[k, list(v.shape)] for k, v in ref_model.state_dict().items()]``).
+    The layout decides key set and tensor ranks (Conv2d vs Conv1d vs
+    Linear); values come from ``variables`` through the same rule table as
+    the import direction, inverted.
+
+    Our ``LinearBlock`` Dense biases have no reference slot (the reference
+    head Linears are bias-free); a constant pre-BN shift is absorbed
+    exactly by the BN running mean in eval mode, so each such bias ``b``
+    is FOLDED into its BatchNorm's exported ``running_mean`` (``mean - b``)
+    instead of being dropped.
+
+    Returns ``(state_dict, ConversionReport)`` with numpy float32 values
+    (``num_batches_tracked`` as int64 zeros).
+    """
+    keys = {k for k, _ in layout_rows}
+    flat = {c: _flatten(variables.get(c, {})) for c in
+            ("params", "batch_stats")}
+    report = ConversionReport()
+    out: Dict[str, Any] = {}
+    errors: List[str] = []
+    for key, shape in layout_rows:
+        coll, path, tf = _translate(key, keys)
+        if coll == "drop":  # num_batches_tracked
+            out[key] = np.asarray(0, np.int64)
+            report.dropped.append(key)
+            continue
+        if coll == "unhandled":
+            report.unhandled.append(key)
+            continue
+        if path not in flat[coll]:
+            errors.append(f"{key} <- {coll}:{path} (no such source leaf)")
+            continue
+        val = np.asarray(flat[coll][path], np.float32)
+        if tf is _dense_kernel:
+            val = np.ascontiguousarray(val.T)     # (in,out) -> (out,in)
+        if int(np.prod(val.shape)) != int(np.prod(shape)):
+            errors.append(f"{key} <- {coll}:{path}: size {val.shape} "
+                          f"vs layout {shape}")
+            continue
+        # BN running_mean with a bias-free reference conv sibling: fold our
+        # Dense bias (if any) into the exported mean (exact in eval mode)
+        if coll == "batch_stats" and key.endswith(".1.running_mean"):
+            conv_bias_key = key[:-len(".1.running_mean")] + ".0.bias"
+            dense_bias = path.replace("/NormAct_0/BatchNorm_0/mean",
+                                      "/Dense_0/bias")
+            if conv_bias_key not in keys and dense_bias in flat["params"]:
+                val = val - np.asarray(flat["params"][dense_bias],
+                                       np.float32)
+                report.zero_filled.append(dense_bias)  # folded, not lost
+        out[key] = val.reshape(shape)
+        report.mapped.append((f"{coll}:{path}", key))
+
+    if strict and (errors or report.unhandled):
+        raise ValueError(
+            "reference checkpoint export failed:\n  errors: "
+            f"{errors[:10]}\n  unhandled: {report.unhandled[:10]}\n  "
+            f"({report.summary()})")
+    return out, report
 
 
 def convert_reference_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],

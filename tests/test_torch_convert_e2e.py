@@ -323,6 +323,66 @@ def test_partseg_reference_logit_parity():
 
 
 @pytest.mark.slow
+def test_export_reference_forward_parity():
+    """EXPORT direction: our randomly-initialized flax DGCNN (nonzero head
+    Dense biases) -> export_reference_state_dict -> loaded into the REAL
+    reference torch model -> forwards must match. Exercises the exact
+    fold of our LinearBlock biases into the exported BN running means
+    (the reference head Linears are bias-free)."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    import openpoints.models.layers.graph_conv as ref_graph_conv
+    from openpoints.models.layers.group import torch_grouping_operation
+    ref_graph_conv.grouping_operation = \
+        lambda feats, idx: torch_grouping_operation(feats, idx.long())
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/dgcnn.yaml"),
+             recursive=True)
+    model = build_model_from_cfg(cfg.model)
+    B, N = 2, 128
+    g = torch.Generator().manual_seed(47)
+    pos_t = torch.randn(B, N, 3, generator=g)
+    x_t = torch.cat([pos_t, pos_t[..., 1:2]], dim=-1)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(3), pos, x, training=False)
+    # inject nonzero head biases — the interesting case for the mean-fold
+    # (they initialize to zero; after training they are arbitrary)
+    variables = jax.tree_util.tree_map(lambda v: v, variables)  # deep copy
+    rng = np.random.default_rng(53)
+    for lb in ("LinearBlock_0", "LinearBlock_1"):
+        node = variables["params"]["prediction"][lb]["Dense_0"]
+        node["bias"] = jnp.asarray(
+            rng.standard_normal(node["bias"].shape).astype(np.float32))
+    ours = np.asarray(model.apply(variables, pos, x, training=False))
+
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_dgcnn_cls.json")))
+    sd, report = export_reference_state_dict(variables, rows)
+    assert not report.unhandled
+    assert any(p.endswith("Dense_0/bias") for p in report.zero_filled)
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["dgcnn_cls"]))
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    np.testing.assert_allclose(ours, ref_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_discriminator_reference_prob_parity():
     """PointDiscriminator1 (pure-torch group-all PointNet — CPU-runnable):
     the reference eval forward vs our converted flax model.

@@ -287,6 +287,66 @@ def test_gan_cli_roundtrip(tmp_path):
     assert "batch_stats" in payload["discriminator"]
 
 
+def test_export_roundtrip():
+    """import -> export returns the original state_dict exactly (the
+    zero-filled head biases make the mean-fold a no-op here)."""
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_state_dict)
+
+    model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/dgcnn.yaml")
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    rows = _fixture("dgcnn_cls")
+    sd = _synth(rows, seed=9)
+    new_vars, _ = convert_reference_state_dict(sd, variables)
+    back, report = export_reference_state_dict(new_vars, rows)
+    assert not report.unhandled
+    assert set(back) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            assert int(back[k]) == 0
+        else:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """our .msgpack -> export CLI -> reference-format .pth (loadable by
+    torch with the exact reference key set)."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    from adaptpoint_tpu.utils.ckpt import save_pytree
+
+    model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/dgcnn.yaml")
+    variables = model.init(jax.random.PRNGKey(1), pos, x, training=False)
+    src = tmp_path / "ours.msgpack"
+    save_pytree({"params": variables["params"],
+                 "batch_stats": variables["batch_stats"], "epoch": 42},
+                str(src))
+
+    spec = importlib.util.spec_from_file_location(
+        "export_torch_ckpt",
+        os.path.join(REPO, "scripts", "export_torch_ckpt.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "exported.pth"
+    mod.main(["--src", str(src), "--out", str(out),
+              "--cfg", os.path.join(REPO, "cfgs/scanobjectnn/dgcnn.yaml"),
+              "--layout", os.path.join(HERE, "fixtures",
+                                       "ref_layout_dgcnn_cls.json")])
+
+    blob = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 42
+    rows = _fixture("dgcnn_cls")
+    assert set(blob["model"]) == {k for k, _ in rows}
+    for k, shape in rows:
+        assert list(blob["model"][k].shape) == shape, k
+    # kernel orientation: exported torch conv weight == our kernel^T
+    np.testing.assert_allclose(
+        blob["model"]["encoder.fusion_block.0.weight"].numpy()[:, :, 0],
+        np.asarray(variables["params"]["encoder"]["fusion"]["Dense_0"]
+                   ["kernel"]).T)
+
+
 def test_strict_rejects_foreign_keys():
     """A state_dict from a different architecture fails loudly."""
     model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/dgcnn.yaml")
