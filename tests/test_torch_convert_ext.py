@@ -71,6 +71,20 @@ def _assert_clean(report, n_tensors):
     assert len(report.mapped) == n_tensors
 
 
+def _assert_export_identity(new_vars, rows, sd):
+    """import -> export must return the original state_dict exactly (the
+    head biases were zero-filled on import, so the mean-fold is a no-op)."""
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_state_dict)
+
+    back, report = export_reference_state_dict(new_vars, rows)
+    assert not report.unhandled
+    assert set(back) == set(sd)
+    for k in sd:
+        if not k.endswith("num_batches_tracked"):
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
 def _n_tensors(rows):
     return sum(1 for k, _ in rows if not k.endswith("num_batches_tracked"))
 
@@ -102,6 +116,7 @@ def test_invresmlp_roundtrip():
     sd = _synth(rows)
     new_vars, report = convert_reference_state_dict(sd, variables)
     _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
     # spot-check: InvResMLP local-aggregation conv and pwconv routing
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["encoder"]["enc2_b1"]
@@ -125,6 +140,7 @@ def test_s3dis_xl_seg_roundtrip():
     sd = _synth(rows, seed=1)
     new_vars, report = convert_reference_state_dict(sd, variables)
     _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
     # decoder FP stage and final seg-head conv routing
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["decoder"]["fp3"]["ConvBlock_0"]
@@ -154,6 +170,7 @@ def test_partseg_roundtrip():
     sd = _synth(rows, seed=2)
     new_vars, report = convert_reference_state_dict(sd, variables)
     _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["decoder"]["global_conv2"]["Dense_0"]
                    ["bias"]),
@@ -173,6 +190,7 @@ def test_pointnet2_roundtrip():
     sd = _synth(rows, seed=3)
     new_vars, report = convert_reference_state_dict(sd, variables)
     _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["encoder"]["sa1"]["ConvBlock_2"]
                    ["Dense_0"]["kernel"]),
@@ -189,6 +207,7 @@ def test_dgcnn_roundtrip():
     sd = _synth(rows, seed=4)
     new_vars, report = convert_reference_state_dict(sd, variables)
     _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["encoder"]["fusion"]["Dense_0"]
                    ["kernel"]),
