@@ -56,6 +56,7 @@ import numpy as np
 
 __all__ = ["convert_reference_state_dict", "convert_reference_generator",
            "convert_reference_discriminator", "export_reference_state_dict",
+           "export_reference_generator", "export_reference_discriminator",
            "ConversionReport"]
 
 _STAGE = re.compile(r"^encoder\.encoder\.(\d+)\.(\d+)\.(.+)$")
@@ -551,13 +552,84 @@ def export_reference_state_dict(variables: Dict[str, Any], layout_rows,
     (``num_batches_tracked`` as int64 zeros).
     """
     keys = {k for k, _ in layout_rows}
+    return _export(variables, layout_rows, lambda k: _translate(k, keys),
+                   strict, fold_bias=True)
+
+
+def export_reference_generator(variables: Dict[str, Any], layout_rows,
+                               strict: bool = True):
+    """EXPORT our flax augmentor variables as a reference
+    AdaptPoint_Augmentor state_dict (inverse of
+    :func:`convert_reference_generator`; no bias-fold cases — every
+    conv/bias slot exists on both sides)."""
+    return _export(variables, layout_rows, _translate_generator, strict,
+                   fold_bias=False)
+
+
+def export_reference_discriminator(variables: Dict[str, Any], layout_rows,
+                                   strict: bool = True):
+    """EXPORT our flax discriminator as a reference PointDiscriminator1
+    state_dict (inverse of :func:`convert_reference_discriminator`).
+
+    flax SpectralNorm stores the raw kernel + the power-iteration ``u``;
+    torch additionally stores ``_v``, which at the fixed point is
+    ``normalize(W_mat^T u)`` — exported that way."""
+    keys = {k for k, _ in layout_rows}
+    flat_p = _flatten_tuples(variables.get("params", {}))
+    flat_b = _flatten_tuples(variables.get("batch_stats", {}))
+    u_by_name = {}
+    for path, leaf in flat_b.items():
+        if path[-1].endswith("/kernel/u"):
+            u_by_name[path[-1][:-len("/kernel/u")]] = np.asarray(
+                leaf, np.float32).reshape(-1)
+    report = ConversionReport()
+    out: Dict[str, Any] = {}
+    errors: List[str] = []
+    shapes = dict((k, s) for k, s in layout_rows)
+    for src, name in _DIS_MODULES.items():
+        w_key = f"{src}.parametrizations.weight.original"
+        if w_key not in shapes:
+            continue
+        kern = flat_p.get((name, "kernel"))
+        if kern is None:
+            errors.append(f"{w_key}: no source kernel {name}")
+            continue
+        w = np.ascontiguousarray(np.asarray(kern, np.float32).T)  # (out,in)
+        out[w_key] = w.reshape(shapes[w_key])
+        report.mapped.append((f"params:{name}/kernel", w_key))
+        b_key = f"{src}.bias"
+        if b_key in shapes:
+            out[b_key] = np.asarray(flat_p[(name, "bias")], np.float32)
+            report.mapped.append((f"params:{name}/bias", b_key))
+        u = u_by_name.get(name)
+        if u is None:
+            errors.append(f"{name}: no spectral-norm u in batch_stats")
+            continue
+        v = w.T @ u
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        out[f"{src}.parametrizations.weight.0._u"] = u
+        out[f"{src}.parametrizations.weight.0._v"] = v.astype(np.float32)
+        report.mapped.append((f"batch_stats:{name}/kernel/u",
+                              f"{src}.parametrizations.weight.0._u"))
+    missing_keys = [k for k in shapes if k not in out]
+    report.missing = missing_keys
+    if strict and (errors or missing_keys):
+        raise ValueError(
+            "reference discriminator export failed:\n  errors: "
+            f"{errors[:10]}\n  missing: {missing_keys[:10]}\n  "
+            f"({report.summary()})")
+    return out, report
+
+
+def _export(variables, layout_rows, translate, strict, fold_bias):
+    keys = {k for k, _ in layout_rows}
     flat = {c: _flatten(variables.get(c, {})) for c in
             ("params", "batch_stats")}
     report = ConversionReport()
     out: Dict[str, Any] = {}
     errors: List[str] = []
     for key, shape in layout_rows:
-        coll, path, tf = _translate(key, keys)
+        coll, path, tf = translate(key)
         if coll == "drop":  # num_batches_tracked
             out[key] = np.asarray(0, np.int64)
             report.dropped.append(key)
@@ -577,7 +649,8 @@ def export_reference_state_dict(variables: Dict[str, Any], layout_rows,
             continue
         # BN running_mean with a bias-free reference conv sibling: fold our
         # Dense bias (if any) into the exported mean (exact in eval mode)
-        if coll == "batch_stats" and key.endswith(".1.running_mean"):
+        if fold_bias and coll == "batch_stats" \
+                and key.endswith(".1.running_mean"):
             conv_bias_key = key[:-len(".1.running_mean")] + ".0.bias"
             dense_bias = path.replace("/NormAct_0/BatchNorm_0/mean",
                                       "/Dense_0/bias")

@@ -25,15 +25,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _export_gan(args):
+    """our model_gan.msgpack -> reference model_gan.pth
+    ({'generator': sd, 'discriminator': sd}, train_autoaug.py:71-78)."""
+    import torch
+
+    from adaptpoint_tpu.utils.ckpt import load_pytree
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_generator, export_reference_discriminator)
+
+    payload = load_pytree(args.src)
+    layout = json.load(open(args.layout))
+    g_sd, g_rep = export_reference_generator(
+        payload["generator"], layout["generator"], strict=not args.tolerant)
+    print("generator:", g_rep.summary())
+    d_sd, d_rep = export_reference_discriminator(
+        payload["discriminator"], layout["discriminator"],
+        strict=not args.tolerant)
+    print("discriminator:", d_rep.summary())
+    torch.save({part: {k: torch.from_numpy(v.copy()) if v.ndim else
+                       torch.tensor(int(v)) for k, v in sd.items()}
+                for part, sd in (("generator", g_sd),
+                                 ("discriminator", d_sd))}, args.out)
+    print(f"wrote {args.out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True, help="our .msgpack checkpoint")
-    ap.add_argument("--cfg", required=True, help="our cfg for the model")
+    ap.add_argument("--cfg", default=None, help="our cfg for the model "
+                    "(unused with --gan)")
     ap.add_argument("--layout", required=True,
                     help="reference layout fixture (ref_layout_*.json)")
     ap.add_argument("--out", required=True, help="output .pth path")
+    ap.add_argument("--gan", action="store_true",
+                    help="export a model_gan.msgpack G/D pair instead of a "
+                         "task-model checkpoint")
     ap.add_argument("--tolerant", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.gan:
+        _export_gan(args)
+        return
+    if not args.cfg:
+        raise SystemExit("--cfg is required for task-model export")
 
     import torch
 

@@ -428,6 +428,23 @@ def test_discriminator_reference_prob_parity():
     prob = np.asarray(dis.apply(d_new, cloud, training=False))
     np.testing.assert_allclose(prob, ref_prob, rtol=1e-4, atol=1e-5)
 
+    # and BACK: export the flax D, load into a fresh reference model, and
+    # reproduce the same eval probabilities (validates the recomputed _v)
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_discriminator)
+    layout = [[k, list(v.shape)] for k, v in sd.items()]
+    d_sd, _ = export_reference_discriminator(d_new, layout)
+    ref_d2 = build_adaptpointmodels_from_cfg(
+        mod._attrdict(mod.GAN_SPECS["discriminator"]))
+    missing, unexpected = ref_d2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in d_sd.items()})
+    assert not missing and not unexpected
+    ref_d2.eval()
+    with torch.no_grad():
+        prob2 = ref_d2(cloud_t).numpy()
+    np.testing.assert_allclose(prob2, ref_prob, rtol=1e-4, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_dgcnn_reference_logit_parity():

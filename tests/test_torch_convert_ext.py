@@ -253,11 +253,36 @@ def test_gan_pair_roundtrip():
     assert xyz_new.shape == cloud.shape
     assert np.isfinite(np.asarray(xyz_new)).all()
 
+    # generator export identity: import -> export == original
+    from adaptpoint_tpu.utils.torch_convert import (
+        export_reference_generator, export_reference_discriminator)
+    g_back, g_exp = export_reference_generator(g_new, pair["generator"])
+    assert not g_exp.unhandled
+    for k in g_sd:
+        if not k.endswith("num_batches_tracked"):
+            np.testing.assert_array_equal(g_back[k], g_sd[k], err_msg=k)
+
     dis = PointDiscriminator1(num_classes=15)
     d_vars = dis.init({"params": jax.random.PRNGKey(0)}, cloud,
                       training=False)
     d_new, d_rep = convert_reference_discriminator(d_sd, d_vars)
     assert not d_rep.unhandled and not d_rep.missing
+
+    # discriminator export: raw weight, bias, and u roundtrip exactly;
+    # _v is recomputed as normalize(W^T u) (flax stores no v)
+    d_back, d_exp = export_reference_discriminator(d_new,
+                                                   pair["discriminator"])
+    assert not d_exp.missing
+    for k in d_sd:
+        if k.endswith((".original", ".bias", "._u")):
+            np.testing.assert_allclose(d_back[k], d_sd[k], rtol=1e-6,
+                                       err_msg=k)
+    w = d_sd["fc1.parametrizations.weight.original"]
+    u = d_sd["fc1.parametrizations.weight.0._u"]
+    want_v = w.T @ u
+    want_v = want_v / np.linalg.norm(want_v)
+    np.testing.assert_allclose(
+        d_back["fc1.parametrizations.weight.0._v"], want_v, rtol=1e-5)
     # raw weight keeps its values (kernel = original^T); sigma = u^T W v
     w = d_sd["fc1.parametrizations.weight.original"]
     np.testing.assert_array_equal(
@@ -304,6 +329,28 @@ def test_gan_cli_roundtrip(tmp_path):
         np.asarray(blob["generator"]
                    ["predict_prob_layer.pointset_grouper_list.0.affine_beta"]))
     assert "batch_stats" in payload["discriminator"]
+
+    # and BACK through the export CLI: .msgpack -> reference model_gan.pth
+    espec = importlib.util.spec_from_file_location(
+        "export_torch_ckpt",
+        os.path.join(REPO, "scripts", "export_torch_ckpt.py"))
+    emod = importlib.util.module_from_spec(espec)
+    espec.loader.exec_module(emod)
+    back = tmp_path / "model_gan_back.pth"
+    emod.main(["--gan", "--src", str(out), "--out", str(back), "--layout",
+               os.path.join(HERE, "fixtures",
+                            "ref_layout_adaptpoint_gan.json")])
+    blob2 = torch.load(str(back), map_location="cpu", weights_only=True)
+    np.testing.assert_array_equal(
+        blob2["generator"]
+        ["predict_prob_layer.extract_feat_list.1.net.0.weight"].numpy(),
+        blob["generator"]
+        ["predict_prob_layer.extract_feat_list.1.net.0.weight"].numpy())
+    np.testing.assert_array_equal(
+        blob2["discriminator"]
+        ["fc2.parametrizations.weight.original"].numpy(),
+        blob["discriminator"]
+        ["fc2.parametrizations.weight.original"].numpy())
 
 
 def test_export_roundtrip():
