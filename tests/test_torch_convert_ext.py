@@ -353,6 +353,42 @@ def test_gan_cli_roundtrip(tmp_path):
         ["fc2.parametrizations.weight.original"].numpy())
 
 
+@pytest.mark.slow
+def test_partseg_cli_roundtrip(tmp_path):
+    """Convert CLI on a BasePartSeg checkpoint (exercises the cls0-init
+    branch), then export CLI back to .pth — identity."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    rows = _fixture("pointnext_s_partseg")
+    sd = _synth(rows, seed=10)
+    src = tmp_path / "ref_partseg.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}, "epoch": 5}, str(src))
+
+    def _load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(REPO, "scripts", f"{name}.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    cfgp = os.path.join(REPO, "cfgs/shapenetpart/pointnext-s.yaml")
+    mid = tmp_path / "ours.msgpack"
+    _load("convert_torch_ckpt").main(
+        ["--src", str(src), "--out", str(mid), "--cfg", cfgp])
+    out = tmp_path / "back.pth"
+    _load("export_torch_ckpt").main(
+        ["--src", str(mid), "--out", str(out), "--cfg", cfgp, "--layout",
+         os.path.join(HERE, "fixtures", "ref_layout_pointnext_s_partseg.json")])
+    blob = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 5
+    for k in sd:
+        if not k.endswith("num_batches_tracked"):
+            np.testing.assert_array_equal(blob["model"][k].numpy(), sd[k],
+                                          err_msg=k)
+
+
 def test_export_roundtrip():
     """import -> export returns the original state_dict exactly (the
     zero-filled head biases make the mean-fold a no-op here)."""
