@@ -85,11 +85,24 @@ class ConversionReport:
         self.dropped: List[str] = []                 # num_batches_tracked
         self.unhandled: List[str] = []               # source keys w/o rule
         self.missing: List[str] = []                 # target leaves w/o src
+        self.errors: List[str] = []                  # shape/routing failures
 
     def summary(self) -> str:
         return (f"mapped={len(self.mapped)} zero_filled={len(self.zero_filled)} "
                 f"dropped={len(self.dropped)} unhandled={len(self.unhandled)} "
-                f"missing={len(self.missing)}")
+                f"missing={len(self.missing)} errors={len(self.errors)}")
+
+
+def _overlay(base, patch):
+    """Deep-merge ``patch`` over ``base`` (dicts recursed, leaves replaced)
+    so tolerant conversions keep the target's init values for uncovered
+    leaves — the result always has the full model structure and loads."""
+    if not isinstance(base, dict) or not isinstance(patch, dict):
+        return patch
+    out = dict(base)
+    for k, v in patch.items():
+        out[k] = _overlay(base.get(k), v) if k in base else v
+    return out
 
 
 def _dense_kernel(w: np.ndarray) -> np.ndarray:
@@ -421,6 +434,7 @@ def convert_reference_discriminator(sd: Dict[str, Any],
             handled.update((u_key, v_key))
 
     report.unhandled = [k for k in sd if k not in handled]
+    report.errors = errors
     for coll, flat in target_flat.items():
         report.missing += [f"{coll}:{'/'.join(p)}" for p in flat
                            if p not in covered[coll]]
@@ -432,7 +446,8 @@ def convert_reference_discriminator(sd: Dict[str, Any],
     new_vars = dict(variables)
     for coll in out:
         if target_flat[coll]:
-            new_vars[coll] = out[coll]
+            # overlay keeps init values for uncovered leaves (tolerant mode)
+            new_vars[coll] = _overlay(variables.get(coll, {}), out[coll])
     return new_vars, report
 
 
@@ -516,6 +531,7 @@ def _convert(sd, variables, translate, strict, zero_fill):
             else:
                 report.missing.append(f"{coll}:{path}")
 
+    report.errors = errors
     if strict and (errors or report.unhandled or report.missing):
         raise ValueError(
             "reference checkpoint conversion failed:\n  errors: "
@@ -525,7 +541,8 @@ def _convert(sd, variables, translate, strict, zero_fill):
     new_vars = dict(variables)
     for coll in out:
         if target_flat[coll]:
-            new_vars[coll] = out[coll]
+            # overlay keeps init values for uncovered leaves (tolerant mode)
+            new_vars[coll] = _overlay(variables.get(coll, {}), out[coll])
     return new_vars, report
 
 
@@ -595,12 +612,20 @@ def export_reference_discriminator(variables: Dict[str, Any], layout_rows,
             errors.append(f"{w_key}: no source kernel {name}")
             continue
         w = np.ascontiguousarray(np.asarray(kern, np.float32).T)  # (out,in)
+        if int(np.prod(w.shape)) != int(np.prod(shapes[w_key])):
+            errors.append(f"{w_key}: kernel {w.shape} vs layout "
+                          f"{shapes[w_key]}")
+            continue
         out[w_key] = w.reshape(shapes[w_key])
         report.mapped.append((f"params:{name}/kernel", w_key))
         b_key = f"{src}.bias"
         if b_key in shapes:
-            out[b_key] = np.asarray(flat_p[(name, "bias")], np.float32)
-            report.mapped.append((f"params:{name}/bias", b_key))
+            bias = flat_p.get((name, "bias"))
+            if bias is None:
+                errors.append(f"{b_key}: no source bias {name}")
+            else:
+                out[b_key] = np.asarray(bias, np.float32)
+                report.mapped.append((f"params:{name}/bias", b_key))
         u = u_by_name.get(name)
         if u is None:
             errors.append(f"{name}: no spectral-norm u in batch_stats")
@@ -613,6 +638,7 @@ def export_reference_discriminator(variables: Dict[str, Any], layout_rows,
                               f"{src}.parametrizations.weight.0._u"))
     missing_keys = [k for k in shapes if k not in out]
     report.missing = missing_keys
+    report.errors = errors
     if strict and (errors or missing_keys):
         raise ValueError(
             "reference discriminator export failed:\n  errors: "
@@ -625,6 +651,7 @@ def _export(variables, layout_rows, translate, strict, fold_bias):
     keys = {k for k, _ in layout_rows}
     flat = {c: _flatten(variables.get(c, {})) for c in
             ("params", "batch_stats")}
+    used = {c: set() for c in flat}
     report = ConversionReport()
     out: Dict[str, Any] = {}
     errors: List[str] = []
@@ -657,14 +684,23 @@ def _export(variables, layout_rows, translate, strict, fold_bias):
             if conv_bias_key not in keys and dense_bias in flat["params"]:
                 val = val - np.asarray(flat["params"][dense_bias],
                                        np.float32)
+                used["params"].add(dense_bias)
                 report.zero_filled.append(dense_bias)  # folded, not lost
         out[key] = val.reshape(shape)
+        used[coll].add(path)
         report.mapped.append((f"{coll}:{path}", key))
 
-    if strict and (errors or report.unhandled):
+    # a source leaf with no layout slot means trained weights would be
+    # silently dropped from the .pth — surface it (strict: fail)
+    report.errors = errors
+    for coll, leaves in flat.items():
+        report.missing += [f"{coll}:{p}" for p in leaves
+                           if p not in used[coll]]
+    if strict and (errors or report.unhandled or report.missing):
         raise ValueError(
             "reference checkpoint export failed:\n  errors: "
             f"{errors[:10]}\n  unhandled: {report.unhandled[:10]}\n  "
+            f"uncovered source leaves: {report.missing[:10]}\n  "
             f"({report.summary()})")
     return out, report
 

@@ -92,6 +92,8 @@ def _convert_model(args, blob):
         print("  unhandled:", report.unhandled[:20])
     if report.missing:
         print("  missing:", report.missing[:20])
+    if report.errors:
+        print("  errors:", report.errors[:20])
 
     payload = {"params": new_vars["params"],
                "batch_stats": new_vars.get("batch_stats", {}),
@@ -139,6 +141,8 @@ def _convert_gan(args, blob):
             print("  unhandled:", rep.unhandled[:20])
         if rep.missing:
             print("  missing:", rep.missing[:20])
+        if rep.errors:
+            print("  errors:", rep.errors[:20])
 
     # engine/adapt_main.py model_gan.msgpack layout
     save_pytree({"generator": {"params": g_new["params"],

@@ -166,19 +166,10 @@ GAN_SPECS = {
 
 
 def _attrdict(d):
-    """Minimal EasyConfig-alike: dict with attribute access, recursive."""
-    class AD(dict):
-        def __getattr__(self, k):
-            try:
-                return self[k]
-            except KeyError:
-                raise AttributeError(k)
-
-        def __setattr__(self, k, v):
-            self[k] = v
-
+    """Recursive attr-dict over specs (lists recursed too); reuses the
+    _EasyDict the easydict stub ships."""
     if isinstance(d, dict):
-        return AD({k: _attrdict(v) for k, v in d.items()})
+        return _EasyDict({k: _attrdict(v) for k, v in d.items()})
     if isinstance(d, list):
         return [_attrdict(v) for v in d]
     return d

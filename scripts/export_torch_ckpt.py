@@ -99,6 +99,27 @@ def main(argv=None):
     target = {"params": variables["params"],
               "batch_stats": variables.get("batch_stats", {}), "epoch": 0}
     merged, epoch, _ = load_checkpoint(target, args.src)
+
+    # a silently-partial load would export freshly-initialized weights as
+    # if they were trained — verify the checkpoint actually covered the cfg
+    import numpy as np
+    import jax.tree_util as jtu
+    from adaptpoint_tpu.utils.ckpt import load_pytree
+    raw = load_pytree(args.src)
+    raw_leaves = {jtu.keystr(p): tuple(np.shape(v)) for p, v in
+                  jtu.tree_leaves_with_path({c: raw.get(c, {}) for c in
+                                             ("params", "batch_stats")})}
+    uncovered = []
+    for p, v in jtu.tree_leaves_with_path(
+            {c: variables.get(c, {}) for c in ("params", "batch_stats")}):
+        k = jtu.keystr(p)
+        if raw_leaves.get(k) != tuple(np.shape(v)):
+            uncovered.append(k)
+    if uncovered and not args.tolerant:
+        raise SystemExit(
+            f"checkpoint does not cover the cfg's model: {len(uncovered)} "
+            f"leaves missing/mismatched, e.g. {uncovered[:5]} "
+            f"(pass --tolerant to export anyway)")
     variables = {"params": merged["params"],
                  "batch_stats": merged["batch_stats"]}
 
@@ -108,6 +129,10 @@ def main(argv=None):
     print("export:", report.summary())
     if report.unhandled:
         print("  unhandled:", report.unhandled[:20])
+    if report.missing:
+        print("  uncovered source leaves:", report.missing[:20])
+    if report.errors:
+        print("  errors:", report.errors[:20])
 
     torch.save({"model": {k: torch.from_numpy(v.copy()) if v.ndim else
                           torch.tensor(int(v)) for k, v in sd.items()},
