@@ -399,7 +399,7 @@ def convert_reference_discriminator(sd: Dict[str, Any],
         node = out[coll]
         for p in path[:-1]:
             node = node.setdefault(p, {})
-        node[path[-1]] = np.asarray(val, np.float32)
+        node[path[-1]] = np.array(val, dtype=np.float32, copy=True)
         covered[coll].add(path)
         report.mapped.append((src_key, f"{coll}:{'/'.join(path)}"))
 
@@ -509,7 +509,9 @@ def _convert(sd, variables, translate, strict, zero_fill):
         if path not in target_flat[coll]:
             errors.append(f"{key} -> {coll}:{path} (no such target leaf)")
             continue
-        val = np.asarray(sd[key], dtype=np.float32)
+        # copy=True: np.asarray on a live torch tensor returns a VIEW that
+        # later in-place training steps would silently mutate
+        val = np.array(sd[key], dtype=np.float32, copy=True)
         val = tf(val) if tf is not None else val
         want = tuple(np.shape(target_flat[coll][path]))
         if tuple(val.shape) != want:
@@ -544,6 +546,111 @@ def _convert(sd, variables, translate, strict, zero_fill):
             # overlay keeps init values for uncovered leaves (tolerant mode)
             new_vars[coll] = _overlay(variables.get(coll, {}), out[coll])
     return new_vars, report
+
+
+def convert_reference_optimizer_state(opt_sd: Dict[str, Any],
+                                      param_names: List[str],
+                                      variables: Dict[str, Any],
+                                      strict: bool = True):
+    """Convert a reference torch Adam/AdamW ``optimizer.state_dict()`` into
+    optax-shaped first/second-moment trees — mid-training migration.
+
+    ``opt_sd``: ``{'state': {i: {'step', 'exp_avg', 'exp_avg_sq'}},
+    'param_groups': [{'params': [i, ...]}, ...]}``; the integer indices
+    enumerate the concatenation of the groups' param lists, which for the
+    reference is ``model.parameters()`` order — pass the matching
+    ``param_names`` (the model state_dict keys minus BN running stats /
+    counters, which preserves registration order).
+    ``variables``: our converted model variables (mu/nu take the params
+    tree structure; leaves with no torch counterpart — the zero-filled
+    head biases — get zero moments, which is exact: their torch gradient
+    never existed and a zero-moment AdamW step leaves a zero bias zero).
+
+    Moments are elementwise, so each tensor is routed and transposed
+    exactly like its parameter. Returns ``(mu, nu, count)`` where count is
+    the torch step counter (optax's ``scale_by_adam`` increments before
+    the bias correction, matching torch's pre-incremented ``step``).
+    """
+    groups = opt_sd.get("param_groups", [])
+    order: List[int] = []
+    for g in groups:
+        order += list(g["params"])
+    if len(order) != len(param_names):
+        raise ValueError(f"optimizer has {len(order)} params but "
+                         f"{len(param_names)} names were derived")
+    idx_to_name = {idx: param_names[pos] for pos, idx in enumerate(order)}
+
+    params = variables["params"]
+    target_flat = _flatten(params)
+    mu_flat = {p: np.zeros(np.shape(v), np.float32)
+               for p, v in target_flat.items()}
+    nu_flat = {p: np.zeros(np.shape(v), np.float32)
+               for p, v in target_flat.items()}
+    sd_keys = set(param_names)
+    count = 0
+    errors: List[str] = []
+    unhandled: List[str] = []
+    for idx, st in opt_sd.get("state", {}).items():
+        name = idx_to_name.get(int(idx))
+        if name is None:
+            errors.append(f"state index {idx} outside param_groups")
+            continue
+        coll, path, tf = _translate(name, sd_keys)
+        if coll == "unhandled":
+            unhandled.append(name)
+            continue
+        if coll != "params" or path not in target_flat:
+            errors.append(f"{name} -> {coll}:{path} (not a param leaf)")
+            continue
+        count = max(count, int(np.asarray(st["step"])))
+        for src, dst in (("exp_avg", mu_flat), ("exp_avg_sq", nu_flat)):
+            # copy=True: live torch state tensors mutate on the next step
+            val = np.array(st[src], dtype=np.float32, copy=True)
+            val = tf(val) if tf is not None else val
+            if val.shape != np.shape(target_flat[path]):
+                errors.append(f"{name}.{src}: {val.shape} vs param "
+                              f"{np.shape(target_flat[path])}")
+                break
+            dst[path] = val
+    if strict and (errors or unhandled):
+        raise ValueError("reference optimizer conversion failed:\n  errors: "
+                         f"{errors[:10]}\n  unhandled: {unhandled[:10]}")
+
+    def _unflatten(flat):
+        tree: Dict[str, Any] = {}
+        for p, v in flat.items():
+            _set_path(tree, p, v)
+        return tree
+
+    return _unflatten(mu_flat), _unflatten(nu_flat), count
+
+
+def splice_adam_state(opt_state, mu, nu, count):
+    """Insert converted (mu, nu, count) into an optax optimizer state by
+    replacing every ``ScaleByAdamState`` in the (possibly chained) state
+    tuple. Works for optax.adam/adamw/chain(...) compositions."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def _to_tree(template, tree):
+        return jax.tree_util.tree_map(
+            lambda t, v: jnp.asarray(v, t.dtype), template, tree)
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(count=jnp.asarray(count, s.count.dtype),
+                              mu=_to_tree(s.mu, mu), nu=_to_tree(s.nu, nu))
+        if isinstance(s, tuple):
+            # recurse through wrapper states too (InjectHyperparamsState /
+            # MaskedState hold the adam state in an inner_state field)
+            vals = [walk(x) for x in s]
+            return type(s)(*vals) if hasattr(s, "_fields") else tuple(vals)
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        return s
+
+    return walk(opt_state)
 
 
 def export_reference_state_dict(variables: Dict[str, Any], layout_rows,

@@ -98,6 +98,24 @@ def _convert_model(args, blob):
     payload = {"params": new_vars["params"],
                "batch_stats": new_vars.get("batch_stats", {}),
                "epoch": epoch}
+
+    if args.optimizer:
+        from adaptpoint_tpu.utils.torch_convert import (
+            convert_reference_optimizer_state)
+        opt_sd = blob.get("optimizer") if isinstance(blob, dict) else None
+        if not opt_sd:
+            raise SystemExit("--optimizer: checkpoint has no 'optimizer' "
+                             "state (reference save_checkpoint stores it "
+                             "when training saved one)")
+        # named_parameters order == state_dict key order minus buffers
+        param_names = [k for k in sd if not k.endswith(
+            ("running_mean", "running_var", "num_batches_tracked"))]
+        mu, nu, count = convert_reference_optimizer_state(
+            opt_sd, param_names, new_vars, strict=not args.tolerant)
+        payload["opt_moments"] = {"mu": mu, "nu": nu,
+                                  "count": np.asarray(count, np.int32)}
+        print(f"optimizer moments converted (count={count})")
+
     save_pytree(payload, args.out)
     print(f"wrote {args.out} (epoch={epoch})")
 
@@ -164,6 +182,10 @@ def main(argv=None):
     ap.add_argument("--gan", action="store_true",
                     help="convert a model_gan.pth generator/discriminator "
                          "pair instead of a task-model checkpoint")
+    ap.add_argument("--optimizer", action="store_true",
+                    help="also convert the torch Adam/AdamW moments into "
+                         "'opt_moments' (mid-training migration; mode="
+                         "resume splices them into the optax state)")
     ap.add_argument("--sd-key", default=None,
                     help="key holding the state_dict inside the .pth "
                          "(auto: tries 'model', 'state_dict', bare)")

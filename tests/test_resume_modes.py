@@ -192,3 +192,49 @@ def test_seg_mode_resume(tmp_path):
     best2 = main(cfg)
     assert load_pytree(latest)["epoch"] == 2
     assert best2 >= best1
+
+
+@pytest.mark.slow
+def test_cls_resume_with_converted_opt_moments(tmp_path, caplog):
+    """A checkpoint carrying 'opt_moments' (the converter's --optimizer
+    output) is spliced into the optax state on mode=resume and training
+    continues (mid-training migration wiring, engine/cls_main.py)."""
+    import jax
+    import numpy as np
+    from adaptpoint_tpu.engine.cls_main import main
+    from adaptpoint_tpu.utils.ckpt import save_pytree
+
+    def make_cfg():
+        cfg = EasyConfig()
+        cfg.load(os.path.join(REPO, "cfgs/synthetic/dgcnn-tiny.yaml"),
+                 recursive=True)
+        cfg.update({"epochs": 1, "batch_size": 16, "val_batch_size": 16})
+        cfg.run_dir = str(tmp_path)
+        cfg.run_name = "optmig_test"
+        cfg.ckpt_dir = str(tmp_path / "checkpoint")
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        return cfg
+
+    main(make_cfg())
+    latest = os.path.join(str(tmp_path / "checkpoint"),
+                          "optmig_test_ckpt_latest.msgpack")
+    payload = load_pytree(latest)
+    # simulate a converter-produced checkpoint: moments present, no
+    # opt_state (the reference side has no optax tree)
+    ones = jax.tree_util.tree_map(
+        lambda v: np.full(np.shape(v), 0.01, np.float32), payload["params"])
+    converted = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"],
+                 "epoch": payload["epoch"],
+                 "opt_moments": {"mu": ones, "nu": ones,
+                                 "count": np.asarray(37, np.int32)}}
+    conv_path = str(tmp_path / "converted.msgpack")
+    save_pytree(converted, conv_path)
+
+    cfg = make_cfg()
+    cfg.update({"mode": "resume", "pretrained_path": conv_path, "epochs": 2})
+    with caplog.at_level(logging.INFO):
+        main(cfg)
+    assert any("spliced converted optimizer moments" in r.message
+               for r in caplog.records)
+    assert load_pytree(latest)["epoch"] == 2

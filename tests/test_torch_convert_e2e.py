@@ -323,6 +323,108 @@ def test_partseg_reference_logit_parity():
 
 
 @pytest.mark.slow
+def test_optimizer_state_trajectory_parity():
+    """Mid-training migration: a reference model + torch AdamW trained for
+    3 steps, converted (params + Adam moments), must take the SAME 4th
+    step under optax.adamw given the same gradients.
+
+    Gradients are deterministic per parameter name (seeded), injected into
+    both optimizers directly, and routed through the same converter rules
+    (kernels' gradients transpose like the kernels)."""
+    import zlib
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    optax = pytest.importorskip("optax")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["dgcnn_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_dgcnn_cls.json")))
+    sd0 = _synth(rows, seed=59)
+    for k in list(sd0):
+        if k.endswith(".1.weight") or k == "encoder.fusion_block.1.weight":
+            sd0[k] = np.abs(sd0[k]) + 0.5
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd0.items()})
+
+    lr, betas, eps, wd = 1e-3, (0.9, 0.999), 1e-8, 0.05
+    opt = torch.optim.AdamW(ref_model.parameters(), lr=lr, betas=betas,
+                            eps=eps, weight_decay=wd)
+
+    def _grad(name, step):
+        g = np.random.default_rng(zlib.crc32(f"{name}@{step}".encode()))
+        return g
+
+    def _torch_step(step):
+        for name, p in ref_model.named_parameters():
+            rng = _grad(name, step)
+            p.grad = torch.from_numpy(
+                rng.standard_normal(tuple(p.shape)).astype(np.float32))
+        opt.step()
+
+    for step in range(3):
+        _torch_step(step)
+
+    # ---- convert params + optimizer moments at t=3
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict, convert_reference_optimizer_state,
+        splice_adam_state)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/dgcnn.yaml"),
+             recursive=True)
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.zeros((2, 32, 3)), jnp.zeros((2, 32, 4))
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    sd3 = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    vars3, _ = convert_reference_state_dict(sd3, variables)
+
+    param_names = [n for n, _ in ref_model.named_parameters()]
+    mu, nu, count = convert_reference_optimizer_state(
+        opt.state_dict(), param_names, vars3)
+    assert count == 3
+
+    tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd)
+    opt_state = splice_adam_state(tx.init(vars3["params"]), mu, nu, count)
+
+    # ---- one more step on both sides with the same gradients
+    _torch_step(3)
+    sd4 = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    want_vars4, _ = convert_reference_state_dict(sd4, variables)
+
+    grads_sd = {}
+    for name in param_names:
+        grads_sd[name] = _grad(name, 3).standard_normal(
+            sd3[name].shape).astype(np.float32)
+    # the zero_fill rule gives our extra head biases zero gradients (their
+    # torch counterpart does not exist); batch_stats has no gradients
+    grads_vars, _ = convert_reference_state_dict(
+        grads_sd, {"params": variables["params"]})
+    grads = jax.tree_util.tree_map(
+        lambda p, g: jnp.asarray(g, p.dtype),
+        vars3["params"], grads_vars["params"])
+
+    updates, _ = tx.update(grads, opt_state, vars3["params"])
+    got = optax.apply_updates(vars3["params"], updates)
+
+    flat_want = jax.tree_util.tree_leaves_with_path(want_vars4["params"])
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+    checked = 0
+    for path, want in flat_want:
+        np.testing.assert_allclose(
+            np.asarray(flat_got[tuple(path)]), np.asarray(want),
+            rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+        checked += 1
+    assert checked == 25  # every DGCNN param leaf compared
+
+
+@pytest.mark.slow
 def test_export_reference_forward_parity():
     """EXPORT direction: our randomly-initialized flax DGCNN (nonzero head
     Dense biases) -> export_reference_state_dict -> loaded into the REAL

@@ -449,6 +449,97 @@ def test_export_cli_roundtrip(tmp_path):
                    ["kernel"]).T)
 
 
+def test_optimizer_cli_roundtrip(tmp_path):
+    """convert CLI --optimizer: torch AdamW moments ride the msgpack as
+    'opt_moments' and splice into an optax adamw state (mu/nu routed and
+    transposed exactly like their parameters)."""
+    torch = pytest.importorskip("torch")
+    optax = pytest.importorskip("optax")
+    import importlib.util
+
+    rows = _fixture("dgcnn_cls")
+    sd = _synth(rows, seed=21)
+    param_names = [k for k in sd if not k.endswith(
+        ("running_mean", "running_var", "num_batches_tracked"))]
+    rng = np.random.default_rng(22)
+    opt_sd = {"param_groups": [{"params": list(range(len(param_names)))}],
+              "state": {i: {"step": torch.tensor(7.0),
+                            "exp_avg": torch.from_numpy(
+                                rng.standard_normal(sd[n].shape)
+                                .astype(np.float32)),
+                            "exp_avg_sq": torch.from_numpy(
+                                rng.random(sd[n].shape)
+                                .astype(np.float32))}
+                        for i, n in enumerate(param_names)}}
+    src = tmp_path / "ref_with_opt.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()},
+                "optimizer": opt_sd, "epoch": 7}, str(src))
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_torch_ckpt",
+        os.path.join(REPO, "scripts", "convert_torch_ckpt.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "converted.msgpack"
+    mod.main(["--src", str(src), "--out", str(out), "--optimizer",
+              "--cfg", os.path.join(REPO, "cfgs/scanobjectnn/dgcnn.yaml")])
+
+    from adaptpoint_tpu.utils.ckpt import load_pytree
+    from adaptpoint_tpu.utils.torch_convert import splice_adam_state
+    payload = load_pytree(str(out))
+    om = payload["opt_moments"]
+    assert int(om["count"]) == 7
+    # kernel moments transpose with the kernel
+    fusion_idx = param_names.index("encoder.fusion_block.0.weight")
+    np.testing.assert_array_equal(
+        np.asarray(om["mu"]["encoder"]["fusion"]["Dense_0"]["kernel"]),
+        np.asarray(opt_sd["state"][fusion_idx]["exp_avg"])[:, :, 0].T)
+    # zero moments for our extra head biases (no torch counterpart)
+    assert not np.asarray(
+        om["nu"]["prediction"]["LinearBlock_0"]["Dense_0"]["bias"]).any()
+
+    tx = optax.adamw(1e-3)
+    opt_state = splice_adam_state(tx.init(payload["params"]), om["mu"],
+                                  om["nu"], int(om["count"]))
+
+    def _find_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+        if isinstance(s, tuple):  # plain tuples AND wrapper namedtuples
+            for x in s:
+                r = _find_adam(x)
+                if r is not None:
+                    return r
+        if isinstance(s, dict):
+            for x in s.values():
+                r = _find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    adam = _find_adam(opt_state)
+    assert adam is not None and int(adam.count) == 7
+    np.testing.assert_array_equal(
+        np.asarray(adam.mu["encoder"]["fusion"]["Dense_0"]["kernel"]),
+        np.asarray(om["mu"]["encoder"]["fusion"]["Dense_0"]["kernel"]))
+
+    # and through OUR factory tx (inject_hyperparams-wrapped chain — the
+    # structure mode=resume actually splices into)
+    from adaptpoint_tpu.optim import build_optimizer_from_cfg
+    tx2 = build_optimizer_from_cfg(payload["params"], lr=1e-3, NAME="adamw",
+                                   weight_decay=0.05)
+    spliced2 = splice_adam_state(tx2.init(payload["params"]), om["mu"],
+                                 om["nu"], int(om["count"]))
+    adam2 = _find_adam(spliced2)
+    assert adam2 is not None and int(adam2.count) == 7
+    np.testing.assert_array_equal(
+        np.asarray(adam2.nu["encoder"]["head"]["ConvBlock_0"]["Dense_0"]
+                   ["kernel"]),
+        np.asarray(om["nu"]["encoder"]["head"]["ConvBlock_0"]["Dense_0"]
+                   ["kernel"]))
+
+
 def test_strict_rejects_foreign_keys():
     """A state_dict from a different architecture fails loudly."""
     model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/dgcnn.yaml")
