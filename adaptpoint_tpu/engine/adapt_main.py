@@ -92,6 +92,9 @@ def main(cfg):
         payload, epoch_loaded, resumed_best = load_checkpoint(
             _state_payload(state), cfg.pretrained_path)
         state = _restore_state(state, payload)
+        from ..utils.ckpt import maybe_splice_opt_moments
+        state = state.replace(opt_state=maybe_splice_opt_moments(
+            state.opt_state, cfg.pretrained_path))
         cfg.start_epoch = epoch_loaded + 1
         logging.info("resumed classifier from %s at epoch %d (best %.3f)",
                      cfg.pretrained_path, epoch_loaded, resumed_best)

@@ -129,15 +129,9 @@ def main(cfg) -> Optional[float]:
             # checkpoints converted from the reference with --optimizer
             # carry the torch Adam moments as 'opt_moments' (they cannot
             # ride 'opt_state': that tree is optax-structure-specific)
-            from ..utils.ckpt import load_pytree
-            raw = load_pytree(cfg.pretrained_path)
-            if isinstance(raw, dict) and "opt_moments" in raw:
-                from ..utils.torch_convert import splice_adam_state
-                om = raw["opt_moments"]
-                state = state.replace(opt_state=splice_adam_state(
-                    state.opt_state, om["mu"], om["nu"], int(om["count"])))
-                logging.info("spliced converted optimizer moments "
-                             "(count=%d)", int(om["count"]))
+            from ..utils.ckpt import maybe_splice_opt_moments
+            state = state.replace(opt_state=maybe_splice_opt_moments(
+                state.opt_state, cfg.pretrained_path))
 
     train_loader = build_dataloader_from_cfg(
         cfg.batch_size, cfg.dataset, cfg.dataloader,

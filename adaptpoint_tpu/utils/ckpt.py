@@ -112,6 +112,24 @@ def load_checkpoint(target_state: Dict[str, Any], pretrained_path: str):
     return merged, epoch, best_val
 
 
+def maybe_splice_opt_moments(opt_state, pretrained_path: str):
+    """Splice converter-produced torch Adam moments into an optax state.
+
+    Checkpoints from ``scripts/convert_torch_ckpt.py --optimizer`` carry
+    ``opt_moments`` ({mu, nu, count}) instead of an ``opt_state`` tree
+    (the reference side has no optax structure). Returns the opt_state
+    unchanged when the checkpoint has none."""
+    raw = load_pytree(pretrained_path)
+    if isinstance(raw, dict) and "opt_moments" in raw:
+        from .torch_convert import splice_adam_state
+        om = raw["opt_moments"]
+        logging.info("spliced converted optimizer moments (count=%d)",
+                     int(om["count"]))
+        return splice_adam_state(opt_state, om["mu"], om["nu"],
+                                 int(om["count"]))
+    return opt_state
+
+
 def resume_checkpoint(cfg, target_state: Dict[str, Any], pretrained_path: Optional[str] = None):
     pretrained_path = pretrained_path or cfg.get("pretrained_path")
     merged, epoch, best_val = load_checkpoint(target_state, pretrained_path)
