@@ -175,6 +175,53 @@ def bench_infer():
     return B / t
 
 
+def _wait_for_healthy_device(max_wait_s: float = 1800.0,
+                             probe_ms_threshold: float = 250.0) -> None:
+    """Block until the device round-trip is sane before measuring.
+
+    The tunneled TPU relay has documented degraded windows (STATUS.md:
+    a 256x256 matmul once took 357 s end-to-end). Timing the workload
+    during such a window would record tunnel latency, not device
+    throughput. Probe with 10 chained tiny matmuls; proceed once the
+    per-call round-trip is under ``probe_ms_threshold`` (healthy sessions
+    measure ~1-20 ms), or after ``max_wait_s`` with a warning on stderr
+    (the number is then printed anyway, flagged "relay_degraded").
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    deadline = time.monotonic() + max_wait_s
+    f = jax.jit(lambda a: a @ a)
+    while True:
+        try:
+            x = jnp.ones((256, 256), jnp.float32)
+            np.asarray(f(x))  # compile + first call
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(10):
+                y = f(y)
+            np.asarray(y)
+            per_call_ms = (time.perf_counter() - t0) * 1e2
+            if per_call_ms <= probe_ms_threshold:
+                return
+            msg = f"probe {per_call_ms:.0f} ms/call"
+        except Exception as e:  # transient tunnel errors: retry too
+            msg = f"probe raised {type(e).__name__}: {e}"
+        if time.monotonic() >= deadline:
+            print(f"# bench: relay still degraded after {max_wait_s:.0f}s "
+                  f"({msg}); measuring anyway", file=sys.stderr)
+            global _RELAY_DEGRADED
+            _RELAY_DEGRADED = True
+            return
+        print(f"# bench: relay degraded ({msg}); retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60.0)
+
+
+_RELAY_DEGRADED = False
+
+
 def main():
     import jax
     try:  # persistent compile cache: first compile via the tunnel is slow
@@ -182,6 +229,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if jax.default_backend() != "cpu":
+        _wait_for_healthy_device()
 
     try:
         train_cps, t_a, t_b = bench_adaptpoint_train()
@@ -202,6 +251,7 @@ def main():
             "baseline_is_estimate": True,
             "phase_a_ms": round(t_a * 1e3, 1),
             "phase_b_ms": round(t_b * 1e3, 1),
+            **({"relay_degraded": True} if _RELAY_DEGRADED else {}),
             **extra,
         }))
     except Exception as e:  # fall back to the inference metric
