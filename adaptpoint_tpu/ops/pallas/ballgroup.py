@@ -37,7 +37,14 @@ __all__ = ["ball_group_pallas"]
 # Mosaic's default scoped-vmem limit is 16MB; the one-hot gather kernels
 # profit from much larger (tm, g) working sets, so raise it and budget
 # tiles against 24MB (double-buffering margin below the raised cap).
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# Scoped-vmem cap for the gather-kernel family. The tile pickers budget
+# against 24MB (their byte models undercount Mosaic's true stack by a few
+# MB), so the cap needs real headroom above the budget: at 32MB the
+# saeval train-bwd kernel compiled fine at the headline protocol (B=32)
+# but overflowed by 80KB at B=128, N=2048 (Mosaic's allocation grows
+# slightly with grid size). 40MB keeps every picked tile unchanged — the
+# pickers, not this cap, size the tiles — while covering that margin.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
