@@ -199,12 +199,35 @@ def index_points(points, idx):  # noqa: F811  (intentional dispatcher shadow)
 
 def three_interpolation(unknown_xyz, known_xyz, known_feat):
     """FP upsampling with the dispatching gather (parity:
-    geometry.three_interpolation)."""
+    geometry.three_interpolation).
+
+    bf16 features ride the fused weighted-gather Pallas kernel when the
+    shape fits (gather + weighting + sum as one matmul; 1/3 the one-hot
+    FLOPs, no (B,N,3,C) intermediate in either direction — see
+    ops/pallas/fpinterp.py). f32 features keep the composite path: its
+    f32 weighted sum is bit-exact, a parity requirement for the seg
+    decoders. ``ADAPTPOINT_TPU_FPINTERP=0`` restores the composite
+    everywhere."""
     import jax.numpy as _jnp
     dist, idx = three_nn(unknown_xyz, known_xyz)
     dist_recip = 1.0 / (dist + 1e-8)
     norm = _jnp.sum(dist_recip, axis=2, keepdims=True)
     weight = dist_recip / norm
+    if known_feat.dtype == _jnp.bfloat16 \
+            and os.environ.get("ADAPTPOINT_TPU_FPINTERP", "1") != "0":
+        from .pallas.fpinterp import weighted_gather3, weighted_gather3_fits
+        B, M, C = known_feat.shape
+        N = idx.shape[1]
+        if weighted_gather3_fits(N, M, C):
+
+            def _pallas(feat, idx, weight):
+                return weighted_gather3(feat, idx, weight)
+
+            def _xla(feat, idx, weight):
+                gathered = index_points(feat, idx)
+                return _jnp.sum(gathered * weight[..., None], axis=2)
+
+            return _dispatch(_pallas, _xla, known_feat, idx, weight)
     gathered = index_points(known_feat, idx)  # (B,N,3,C)
     return _jnp.sum(gathered * weight[..., None], axis=2)
 

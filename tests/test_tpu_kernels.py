@@ -387,3 +387,41 @@ def test_fused_trainbn_sa_golden(monkeypatch):
             assert d <= 6 * fl, (
                 f"{label}{jax.tree_util.keystr(pth)}: fused diff {d:.3e} "
                 f"exceeds 6x the default-vs-highest spread {fl:.3e}")
+
+
+def test_fpinterp_weighted_gather_golden():
+    """Fused 3-NN weighted interpolation (ops/pallas/fpinterp.py) at the
+    largest augmentor FP-decode shape: fwd within the 2-way-bf16-split
+    truncation of the composite, VJP at activation grade."""
+    from adaptpoint_tpu.ops.pallas.fpinterp import (weighted_gather3,
+                                                    weighted_gather3_fits)
+    from adaptpoint_tpu.ops.geometry import index_points
+    rng = np.random.default_rng(11)
+    B, M, C, N = 32, 1024, 128, 2048
+    assert weighted_gather3_fits(N, M, C)
+    feat = jnp.asarray(rng.standard_normal((B, M, C)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, M, size=(B, N, 3)), jnp.int32)
+    w = rng.random((B, N, 3)).astype(np.float32) + 1e-3
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+
+    def composite(feat, w):
+        return jnp.sum(index_points(feat, idx) * w[..., None], axis=2)
+
+    def loss_fused(feat, w):
+        return jnp.sum(jnp.sin(weighted_gather3(feat, idx, w)))
+
+    def loss_ref(feat, w):
+        return jnp.sum(jnp.sin(composite(feat, w)))
+
+    out = jax.jit(weighted_gather3)(feat, idx, w)
+    ref = jax.jit(composite)(feat, w)
+    assert float(jnp.abs(out - ref).max()) < 5e-5
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(feat, w)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(feat, w)
+    for name, a, b in zip(("dfeat", "dw"), gf, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 2e-2, (
+            name, np.abs(a - b).max(), scale)
