@@ -165,9 +165,12 @@ class AnchorSelfAttention(nn.Module):
             # (32,4,2048,16) mask-head training shape; FLOPs there are only
             # ~0.5 GFLOP. Same numerics class (bf16 QK^T/AV, f32 softmax).
             from ..ops import fused_self_attention as _fsa
-            qf = q.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
-            kf = k.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
-            vf = v.reshape(b * self.head_num, m, head_dim).astype(jnp.float32)
+            # pass q/k/v in the compute dtype: the kernel casts to bf16 for
+            # its matmuls anyway, and bf16 inputs skip three (BH,N,d) HBM
+            # convert copies each direction (~0.6 ms/step measured)
+            qf = q.reshape(b * self.head_num, m, head_dim)
+            kf = k.reshape(b * self.head_num, m, head_dim)
+            vf = v.reshape(b * self.head_num, m, head_dim)
             out = _fsa(qf, kf, vf, scale).reshape(
                 b, self.head_num, m, head_dim)
         else:
@@ -195,6 +198,12 @@ class FeaturePropagationFuse(nn.Module):
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, training: bool = False):
+        # interpolate in the controller's compute dtype: the deepest level
+        # receives the grouper's f32 pooled output, which blocked the fused
+        # bf16 interpolation kernel AND paid a (B,N,3,C) f32 broadcast
+        # multiply (~100 MB at the training shape). Downstream consumers
+        # (ConvBNReLU fuse, mask/prob Dense) cast to this dtype anyway.
+        points2 = points2.astype(compute_dtype())
         interp = three_interpolation(xyz1, xyz2, points2)
         x = jnp.concatenate([points1, interp], axis=-1) if points1 is not None else interp
         return ConvBNReLU(self.out_channels, bias=False)(x, training)

@@ -84,10 +84,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     p = _softmax_tile(q, k, scale)
     pb = p.astype(jnp.bfloat16)
     dob = do.astype(jnp.bfloat16)
-    # dv += P^T do : contract TM
-    dv_ref[0] = dv_ref[0] + lax.dot_general(
-        pb, dob, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # dv += P^T do : contract TM  (f32 accumulate, cast to the ref dtype —
+    # bf16 inputs see one rounding per revisit; N//TM is 2 at the mask-head
+    # shape)
+    dv_acc = lax.dot_general(pb, dob, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv_ref[0] = (dv_ref[0].astype(jnp.float32)
+                 + dv_acc).astype(dv_ref.dtype)
     # dP = do v^T : contract d
     dp = lax.dot_general(dob, v_ref[0].astype(jnp.bfloat16),
                          (((1,), (1,)), ((), ())),
@@ -95,17 +98,22 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True)) / scale
     dsb = ds.astype(jnp.bfloat16)
     dq_ref[0] = jnp.dot(dsb, k.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    dk_ref[0] = dk_ref[0] + lax.dot_general(
-        dsb, q.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_acc = lax.dot_general(dsb, q.astype(jnp.bfloat16),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk_ref[0].astype(jnp.float32)
+                 + dk_acc).astype(dk_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def mha_pallas(q, k, v, scale: float):
     """Self-attention softmax(q k^T / scale) v without HBM logits.
 
-    q, k, v: (BH, N, d) f32 (heads flattened into the leading dim).
+    q, k, v: (BH, N, d) f32 or bf16 (heads flattened into the leading
+    dim; bf16 inputs skip the HBM convert copies — the kernel casts to
+    bf16 for the matmuls either way, so the numerics class is identical).
     Returns (BH, N, d) f32. Requires N % 8 == 0.
     """
     return _mha_fwd(q, k, v, scale)[0]
@@ -169,9 +177,9 @@ def _mha_bwd(scale, res, do):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
         ),
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,

@@ -246,6 +246,37 @@ def test_flash_attention_interpret_matches_xla(monkeypatch):
         assert float(jnp.max(jnp.abs(a - b))) < 3e-2 * mag
 
 
+def test_flash_attention_bf16_inputs(monkeypatch):
+    """bf16 q/k/v (the controller's compute dtype, passed without the
+    HBM upcast copies): forward is IDENTICAL to upcast-f32 inputs (the
+    kernel casts to bf16 for its matmuls either way); cotangents come
+    back bf16 and match the f32 run at storage-rounding grade."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    from adaptpoint_tpu.ops.pallas.attention import mha_pallas
+    BH, N, D = 2, 256, 16
+    scale = D ** 0.5
+    rng = np.random.default_rng(3)
+    qb = jnp.array(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    kb = jnp.array(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    vb = jnp.array(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    q, k, v = (x.astype(jnp.float32) for x in (qb, kb, vb))
+
+    got = mha_pallas(qb, kb, vb, scale)
+    want = mha_pallas(q, k, v, scale)
+    assert got.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    gb = jax.grad(lambda *a: jnp.sum(jnp.sin(mha_pallas(*a, scale))),
+                  argnums=(0, 1, 2))(qb, kb, vb)
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(mha_pallas(*a, scale))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gb, gf):
+        assert a.dtype == jnp.bfloat16
+        mag = max(float(jnp.max(jnp.abs(b))), 1.0)
+        assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
+            < 1e-2 * mag
+
+
 def test_nested_fps_prefix_identity(rng_np):
     """FPS is greedy => prefix-nested: (1) fps(x, m) == fps(x, n)[:m];
     (2) fps over a selection-ordered FPS subset is arange — the identity
