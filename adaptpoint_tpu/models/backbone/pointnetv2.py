@@ -17,8 +17,10 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import (fps_prefix_idx, furthest_point_sample, index_points,
-                    nested_fps_enabled, three_interpolation)
+from ...ops import (ball_group, eval_group_dtype, fps_prefix_idx,
+                    furthest_point_sample, index_points, nested_fps_enabled,
+                    three_interpolation)
+from .pointnext import _aggregation_features_kfirst
 
 
 class PointNet2SA(nn.Module):
@@ -55,16 +57,32 @@ class PointNet2SA(nn.Module):
             else:
                 idx = furthest_point_sample(p, npoint)
                 new_p = index_points(p, idx)
-        grouper = create_grouper(group_args)
-        dp, fj = grouper(new_p, p, f)
-        fj = get_aggregation_features(new_p, dp, None, fj, self.feature_type)
+        if not all_aggr and group_args.get("NAME", "ballquery") == "ballquery":
+            # fused center-gather + ball query + grouping (Pallas on TPU;
+            # the XLA fallback is bit-identical to the composite below,
+            # which pays a full lax.top_k SORT per stage on TPU — the
+            # measured 130 ms -> fused PointNet++ eval at 128x1024).
+            # Neighbor-first (B,K,M,3+C) layout; pool over axis 1.
+            _, fi, dpfj, _ = ball_group(
+                float(self.radius), int(self.nsample), p, idx, f,
+                relative=group_args.get("relative_xyz", True),
+                normalize_dp=group_args.get("normalize_dp", False),
+                out_dtype=eval_group_dtype(training))
+            x = _aggregation_features_kfirst(new_p, dpfj, fi,
+                                             self.feature_type)
+            pool_axis = 1
+        else:
+            grouper = create_grouper(group_args)
+            dp, fj = grouper(new_p, p, f)
+            x = get_aggregation_features(new_p, dp, None, fj,
+                                         self.feature_type)
+            pool_axis = 2
         order = (self.conv_args or {}).get("order", "conv-norm-act")
-        x = fj
         for c in self.channels:
             x = ConvBlock(c, norm_args=self.norm_args or {"norm": "bn"},
                           act_args=self.act_args or {"act": "relu"},
                           order=order)(x, training)
-        return new_p, jnp.max(x, axis=2)
+        return new_p, jnp.max(x, axis=pool_axis)
 
 
 @MODELS.register_module()
