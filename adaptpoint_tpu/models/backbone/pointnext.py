@@ -19,7 +19,7 @@ from flax import linen as nn
 from ..build import MODELS
 from ..layers.blocks import CHANNEL_MAP, ConvBlock, create_act, torch_linear_init
 from ..layers.group_layers import create_grouper, get_aggregation_features
-from ...ops import (ball_group, eval_group_dtype, fps_prefix_idx,
+from ...ops import (ball_group, eval_group_dtype, fps_prefix_idx, pad_query_idx,
                     furthest_point_sample, index_points, nested_fps_enabled,
                     three_interpolation)
 
@@ -265,6 +265,11 @@ class SetAbstraction(nn.Module):
 
         npoint = p.shape[1] // self.stride
         idx = self._sample_idx(p, npoint)
+        # tile-unfriendly npoint (no mult-of-8 divisor, e.g. S3DIS
+        # 15000/4 = 3750) would force an illegal M tile: pad the query
+        # rows (BN is folded — pad rows are pure discarded compute) and
+        # slice the outputs back below
+        idx, m_orig = pad_query_idx(idx)
 
         skipconv = None
         if use_res and self.in_channels != channels[-1]:
@@ -296,6 +301,9 @@ class SetAbstraction(nn.Module):
             int(group_args.get("nsample", 16)), p, idx, f, w1, b1, w2, b2,
             relative=group_args.get("relative_xyz", True),
             normalize_dp=group_args.get("normalize_dp", False))
+        if m_orig is not None:
+            new_p, fi, out = (new_p[:, :m_orig], fi[:, :m_orig],
+                              out[:, :m_orig])
         act_fn = create_act(self.act_args)
         if use_res:
             identity = skipconv(fi) if skipconv is not None else fi
@@ -329,7 +337,11 @@ class SetAbstraction(nn.Module):
         use_fused = (not all_aggr and
                      group_args.get("NAME", "ballquery") == "ballquery")
 
-        if use_fused and self._fused_trainbn_ok(training, order):
+        # the train-BN kernel computes batch statistics over M rows, so
+        # query padding (pad_query_idx) would bias them — tile-unfriendly
+        # npoint stays on the unfused train path instead
+        if (use_fused and (p.shape[1] // self.stride) % 8 == 0
+                and self._fused_trainbn_ok(training, order)):
             return self._fused_trainbn_stage(p, f, group_args, channels,
                                              use_res, order, training)
         if use_fused and self._fused_eval_ok(training, order):

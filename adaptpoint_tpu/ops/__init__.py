@@ -281,6 +281,32 @@ def eval_group_dtype(training: bool):
     return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
 
 
+def pad_query_idx(query_idx):
+    """Pad the query axis up to a tile-friendly multiple for the Pallas
+    gather-kernel family (ballgroup/saeval), which tiles M in sublane-
+    aligned blocks — M with no multiple-of-8 divisor (e.g. S3DIS
+    15000/4 = 3750) would otherwise force an illegal tile. Picks the
+    largest power-of-two tile multiple costing <= 5% extra rows, with a
+    multiple-of-8 floor. Pad rows repeat each cloud's first query index;
+    their outputs are computed and sliced away by the caller.
+
+    Returns (padded_idx, m_orig); m_orig is None when M is already
+    8-aligned (caller skips the slice)."""
+    import jax.numpy as jnp
+    m = query_idx.shape[1]
+    if m % 8 == 0:
+        return query_idx, None
+    target = m + (-m) % 8
+    for mult in (256, 128, 64, 32, 16):
+        p = (-m) % mult
+        if p * 20 <= m:
+            target = m + p
+            break
+    pad = jnp.broadcast_to(query_idx[:, :1],
+                           (query_idx.shape[0], target - m))
+    return jnp.concatenate([query_idx, pad], axis=1), m
+
+
 def _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                     relative=True, normalize_dp=False, out_dtype=None):
     """XLA composite with the fused-kernel signature (CPU/test fallback)."""
@@ -339,6 +365,11 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     # (2.2 vs 1.5 ms) while every training shape is >=100x above threshold
     # (scripts/check_ballgroup.py)
     work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
+    m_orig = None
+    if work >= 16 * 1024 * 1024:
+        # tile-unfriendly M (no mult-of-8 divisor) rides the Pallas path
+        # via padded queries; outputs are sliced back below
+        query_idx, m_orig = pad_query_idx(query_idx)
     if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
         def _pallas(xyz, query_idx, feats):
             return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
@@ -353,6 +384,10 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
     else:
         out = _ball_group_xla(radius, nsample, xyz, query_idx, feats,
                               relative, normalize_dp, odt)
+    if m_orig is not None:
+        new_xyz, fi, dpfj, idx = out
+        out = (new_xyz[:, :m_orig], fi[:, :m_orig], dpfj[:, :, :m_orig],
+               idx[:, :m_orig])
     if in_dt == jnp.bfloat16:
         new_xyz, fi, dpfj, idx = out
         return new_xyz, fi.astype(in_dt), dpfj, idx

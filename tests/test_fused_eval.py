@@ -130,3 +130,52 @@ def test_fused_train_grad_matches_unfused(monkeypatch):
     assert np.abs(a - b).max() / scale < 0.25, np.abs(a - b).max() / scale
     # the bulk of the field must agree tightly
     assert np.median(np.abs(a - b)) / scale < 0.01
+
+
+@pytest.mark.slow
+def test_fused_eval_tile_unfriendly_npoint(monkeypatch):
+    """npoint with no mult-of-8 divisor (S3DIS 15000/4=3750 class of
+    shapes): the fused stage pads the query rows (ops.pad_query_idx) and
+    slices the outputs — forward still matches unfused, same param tree."""
+    monkeypatch.setenv("ADAPTPOINT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("ADAPTPOINT_TPU_KERNELS", raising=False)
+    called = []
+    import adaptpoint_tpu.ops.pallas.saeval as saeval
+    orig = saeval.sa_eval_pallas
+    monkeypatch.setattr(saeval, "sa_eval_pallas",
+                        lambda *a, **k: called.append(1) or orig(*a, **k))
+    model = build_model_from_cfg(_tiny_cls_cfg())
+    rng = np.random.default_rng(3)
+    B, N = 2, 120  # -> npoints 60, 30: both % 8 != 0
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
+    x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    ref = model.apply(variables, pos, x, training=False)
+    with fused_eval():
+        got = model.apply(variables, pos, x, training=False)
+        v2 = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    assert called, "fused_eval() did not engage the Pallas SA kernel"
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+    mag = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-2 * mag
+    assert (jnp.argmax(got, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_pad_query_idx_ball_group_parity():
+    """ball_group with a padded query axis slices back to the exact
+    unpadded result (the >=16M-work Pallas route pads internally; this
+    pins the pad+slice algebra on the XLA composite)."""
+    from adaptpoint_tpu.ops import ball_group, pad_query_idx
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 6)), jnp.float32)
+    qidx = jnp.asarray(rng.integers(0, 64, (2, 30)), jnp.int32)
+    qpad, m = pad_query_idx(qidx)
+    assert m == 30 and qpad.shape[1] % 8 == 0
+    assert (qpad[:, :30] == qidx).all()
+    ref = ball_group(0.8, 8, xyz, qidx, feats)
+    got = ball_group(0.8, 8, xyz, qpad, feats)
+    got = (got[0][:, :m], got[1][:, :m], got[2][:, :, :m], got[3][:, :m])
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        assert jnp.array_equal(r, g)
