@@ -215,7 +215,8 @@ class SetAbstraction(nn.Module):
             out = act_fn(out)
         return new_p, out
 
-    def _fused_eval_ok(self, training: bool, order: str) -> bool:
+    def _fused_eval_ok(self, training: bool, order: str,
+                       n_support: int = 0) -> bool:
         """Gate for the fused eval SA kernels (ops/pallas/saeval.py):
         eval-mode (BN running stats) forwards with exactly two convs in the
         standard bn+relu conv-norm-act form and dp_fj features, on a TPU
@@ -226,6 +227,11 @@ class SetAbstraction(nn.Module):
         import os
         from ...utils.fastpath import fused_eval_active, fused_train_active
         if training or not (fused_eval_active() or fused_train_active()):
+            return False
+        if n_support > 4096:
+            # scene-scale support sets (S3DIS 16x15000) crash the Mosaic
+            # compile helper (observed 2026-08-20 at N=15000; goldens
+            # cover N<=2048) — such stages take the ball_group route
             return False
         if self.layers != 2 or self.feature_type != "dp_fj":
             return False
@@ -344,7 +350,7 @@ class SetAbstraction(nn.Module):
                 and self._fused_trainbn_ok(training, order)):
             return self._fused_trainbn_stage(p, f, group_args, channels,
                                              use_res, order, training)
-        if use_fused and self._fused_eval_ok(training, order):
+        if use_fused and self._fused_eval_ok(training, order, p.shape[1]):
             return self._fused_eval_stage(p, f, group_args, channels,
                                           use_res, order, training)
         if use_fused:
