@@ -33,6 +33,12 @@ __all__ = [
 ]
 
 
+# ball_group/ball_group_max Pallas dispatch threshold (B*M*K*N one-hot
+# elements). Module-level so tests can monkeypatch it to force the internal
+# pad-then-slice branch at CPU-sized problems (ADVICE r4).
+PALLAS_WORK_MIN = 16 * 1024 * 1024
+
+
 def _kernel_mode() -> str:
     return os.environ.get("ADAPTPOINT_TPU_KERNELS", "auto").lower()
 
@@ -360,17 +366,17 @@ def ball_group(radius, nsample, xyz, query_idx, feats,
             # rounded either way; selection/idx stay exact)
             out_dtype = jnp.bfloat16
     # pallas tiles need M divisible by 8 (qidx sublane constraint); tiny
-    # problems (B*M*K*N < 16M one-hot elements) go to XLA — measured
-    # crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA composite
-    # (2.2 vs 1.5 ms) while every training shape is >=100x above threshold
-    # (scripts/check_ballgroup.py)
+    # problems (B*M*K*N < PALLAS_WORK_MIN one-hot elements) go to XLA —
+    # measured crossover: at B=4 N=128 M=64 the fused bwd loses to the XLA
+    # composite (2.2 vs 1.5 ms) while every training shape is >=100x above
+    # threshold (scripts/check_ballgroup.py)
     work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
     m_orig = None
-    if work >= 16 * 1024 * 1024:
+    if work >= PALLAS_WORK_MIN:
         # tile-unfriendly M (no mult-of-8 divisor) rides the Pallas path
         # via padded queries; outputs are sliced back below
         query_idx, m_orig = pad_query_idx(query_idx)
-    if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
+    if query_idx.shape[1] % 8 == 0 and work >= PALLAS_WORK_MIN:
         def _pallas(xyz, query_idx, feats):
             return ball_group_pallas(radius, nsample, xyz, query_idx, feats,
                                      relative, normalize_dp, odt,
@@ -425,7 +431,7 @@ def ball_group_max(radius, nsample, xyz, query_idx, feats,
         splits = 1
         grad_splits = 1
     work = xyz.shape[0] * query_idx.shape[1] * nsample * xyz.shape[1]
-    if query_idx.shape[1] % 8 == 0 and work >= 16 * 1024 * 1024:
+    if query_idx.shape[1] % 8 == 0 and work >= PALLAS_WORK_MIN:
         from .pallas.ballgroup import ball_group_maxpool_pallas
 
         def _pallas(xyz, query_idx, feats):

@@ -19,11 +19,29 @@ gather/FPS-heavy GAN step), so vs_baseline is conservative.
 
 Secondary metric (also reported): PointNeXt-S inference throughput at the
 reference protocol (128 x 1024), vs the published 2040 clouds/s V100 figure.
+
+Delivery contract (VERDICT r4 #1): a parseable JSON line is printed the
+moment the train number exists — the inference add-on runs only if wall
+budget remains, then a second (superset) JSON line replaces it.  The
+health gate waits at most BENCH_HEALTH_WAIT_S (240 s default); the compile
+cache is durable (seeded from the committed .jax_cache_bench.tar.gz when
+the local cache dir is cold — machine swaps wipe /tmp but not the repo).
+Run `bash scripts/ci_tpu.sh` to prewarm + refresh the tarball.
 """
 import json
 import os
 import sys
 import time
+
+_T0 = time.monotonic()
+# Worst-case wall budget (driver timeout insurance). Stages that have not
+# started by the time the budget is this close to spent are skipped.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
+
+
+def _trace(msg):
+    print(f"# bench +{time.monotonic() - _T0:.0f}s: {msg}", file=sys.stderr,
+          flush=True)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -98,12 +116,18 @@ def bench_adaptpoint_train():
     hr = jnp.float32(3.0)
     lr = jnp.float32(cfg.lr)
 
+    # Carry (gan_state, gen) through the chained slope so ONE compiled
+    # program both times phase A and provides the phase-B input (a separate
+    # un-nested gan_step call costs its own ~31MB executable + a minute of
+    # cold compile through the tunnel — the round-4 delivery lesson).
     @jax.jit
-    def phase_a(gs):
+    def phase_a_c(carry):
+        gs, _ = carry
         gs2, gen, _ = gan_step(gs, state, sb, key, hr)
-        return gs2
+        return gs2, gen
 
-    t_a = _slope(phase_a, gan_state)
+    carry0 = (gan_state, jnp.zeros((B, N, 3), jnp.float32))
+    t_a = _slope(phase_a_c, carry0)
 
     # phase B input: generated clouds at N=2048 with the height feature.
     # With cfg.scan_batches: K > 1 the classifier epoch runs through the
@@ -112,7 +136,7 @@ def bench_adaptpoint_train():
     # it amortizes host dispatch for fast-model/small-batch configs).
     # t_b is the per-batch cost either way.
     from adaptpoint_tpu.engine.cls_trainer import make_train_step_scan
-    _, gen, _ = gan_step(gan_state, state, sb, key, hr)
+    _, gen = phase_a_c(carry0)
     fake = np.asarray(jnp.concatenate([gen, jnp.abs(gen[..., 1:2])], -1))
     K = int(cfg.get("scan_batches", 1) or 1)
     if K > 1:
@@ -160,7 +184,11 @@ def bench_infer():
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
-    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    # jitted init: eager flax init dispatches hundreds of tiny ops through
+    # the tunnel (~2-3 min of the round-4 cold wall); one compiled program
+    # is seconds and cacheable
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        jax.random.PRNGKey(0), pos, x, training=False)
 
     from adaptpoint_tpu.utils.fastpath import fused_eval, fused_eval_env
 
@@ -175,7 +203,35 @@ def bench_infer():
     return B / t
 
 
-def _wait_for_healthy_device(max_wait_s: float = 1800.0,
+def _seed_compile_cache(cache_dir: str) -> None:
+    """Seed the persistent compile cache from the committed tarball.
+
+    The axon cold-compile wall (~9 min through the tunnel) is the round-4
+    delivery failure; /tmp does not survive machine swaps, the repo does.
+    """
+    import tarfile
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tarball = os.path.join(repo, ".jax_cache_bench.tar.gz")
+    try:
+        if not os.path.exists(tarball):
+            return
+        os.makedirs(cache_dir, exist_ok=True)
+        have = set(os.listdir(cache_dir))
+        with tarfile.open(tarball, "r:gz") as tf:
+            members = [m for m in tf.getmembers()
+                       if m.isfile() and os.path.basename(m.name) not in have]
+            for m in members:
+                data = tf.extractfile(m).read()
+                with open(os.path.join(cache_dir,
+                                       os.path.basename(m.name)), "wb") as f:
+                    f.write(data)
+        if members:
+            _trace(f"seeded {len(members)} compile-cache entries from tarball")
+    except Exception as e:  # cache is an optimization, never fatal
+        _trace(f"cache seed skipped ({type(e).__name__}: {e})")
+
+
+def _wait_for_healthy_device(max_wait_s: float = None,
                              probe_ms_threshold: float = 250.0) -> None:
     """Block until the device round-trip is sane before measuring.
 
@@ -184,13 +240,18 @@ def _wait_for_healthy_device(max_wait_s: float = 1800.0,
     during such a window would record tunnel latency, not device
     throughput. Probe with 10 chained tiny matmuls; proceed once the
     per-call round-trip is under ``probe_ms_threshold`` (healthy sessions
-    measure ~1-20 ms), or after ``max_wait_s`` with a warning on stderr
-    (the number is then printed anyway, flagged "relay_degraded").
+    measure ~1-20 ms), or after ``max_wait_s`` (default BENCH_HEALTH_WAIT_S
+    env, 240 s — VERDICT r4: a bench that sleeps past the driver budget
+    delivers nothing; a flagged-degraded number beats an empty artifact)
+    with a warning on stderr (the number is then printed anyway, flagged
+    "relay_degraded").
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_HEALTH_WAIT_S", "240"))
     deadline = time.monotonic() + max_wait_s
     f = jax.jit(lambda a: a @ a)
     while True:
@@ -214,9 +275,9 @@ def _wait_for_healthy_device(max_wait_s: float = 1800.0,
             global _RELAY_DEGRADED
             _RELAY_DEGRADED = True
             return
-        print(f"# bench: relay degraded ({msg}); retrying in 60s",
-              file=sys.stderr)
-        time.sleep(60.0)
+        print(f"# bench: relay degraded ({msg}); retrying in 30s",
+              file=sys.stderr, flush=True)
+        time.sleep(30.0)
 
 
 _RELAY_DEGRADED = False
@@ -224,25 +285,26 @@ _RELAY_DEGRADED = False
 
 def main():
     import jax
+    # repo-local default (gitignored): /tmp does not survive machine swaps;
+    # the repo checkout usually does, and scripts/ci_tpu.sh prewarms it.
+    cache_dir = os.environ.get(
+        "ADAPTPOINT_TPU_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_bench"))
     try:  # persistent compile cache: first compile via the tunnel is slow
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        _seed_compile_cache(cache_dir)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     if jax.default_backend() != "cpu":
+        _trace("health probe")
         _wait_for_healthy_device()
 
     try:
+        _trace("train bench (compile + slope)")
         train_cps, t_a, t_b = bench_adaptpoint_train()
-        extra = {}
-        try:
-            infer_cps = bench_infer()
-            extra = {"infer_clouds_per_sec_128x1024": round(infer_cps, 1),
-                     "infer_vs_v100": round(
-                         infer_cps / V100_INFER_CLOUDS_PER_SEC, 3)}
-        except Exception:
-            pass
-        print(json.dumps({
+        headline = {
             "metric": "adaptpoint_train_clouds_per_sec_b32_n2048",
             "value": round(train_cps, 1),
             "unit": "clouds/sec/chip",
@@ -252,8 +314,25 @@ def main():
             "phase_a_ms": round(t_a * 1e3, 1),
             "phase_b_ms": round(t_b * 1e3, 1),
             **({"relay_degraded": True} if _RELAY_DEGRADED else {}),
-            **extra,
-        }))
+        }
+        # Deliver the headline NOW (VERDICT r4 #1a): if the driver's
+        # timeout lands during the add-on, the tail still parses.
+        print(json.dumps(headline), flush=True)
+        elapsed = time.monotonic() - _T0
+        if elapsed > BENCH_BUDGET_S - 150:
+            _trace(f"skipping inference add-on (elapsed {elapsed:.0f}s)")
+            return
+        try:
+            _trace("inference add-on")
+            infer_cps = bench_infer()
+            headline.update(
+                {"infer_clouds_per_sec_128x1024": round(infer_cps, 1),
+                 "infer_vs_v100": round(
+                     infer_cps / V100_INFER_CLOUDS_PER_SEC, 3)})
+            print(json.dumps(headline), flush=True)
+        except Exception as e:
+            _trace(f"inference add-on failed ({type(e).__name__}: {e}); "
+                   f"headline already delivered")
     except Exception as e:  # fall back to the inference metric
         print(f"# adaptpoint train bench failed ({type(e).__name__}: {e}); "
               f"falling back to inference metric", file=sys.stderr)
@@ -264,7 +343,8 @@ def main():
             "value": round(infer_cps, 1),
             "unit": "clouds/sec",
             "vs_baseline": round(infer_cps / V100_INFER_CLOUDS_PER_SEC, 3),
-        }))
+        }), flush=True)
+    _trace(f"done (total {time.monotonic() - _T0:.0f}s)")
 
 
 if __name__ == "__main__":

@@ -88,8 +88,12 @@ def bench_entry(label):
     pos = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
     if task == "cls":
         # ScanObjectNN protocol features: xyz + height (train_autoaug.py
-        # feature keys); in_channels == 4 for every zoo cls cfg.
-        feat_fn = lambda p: jnp.concatenate([p, jnp.abs(p[..., 1:2])], -1)
+        # feature keys). ModelNet cfgs declare in_channels=3 (xyz only) —
+        # match the cfg so the benched model is the protocol model.
+        if in_ch >= 4:
+            feat_fn = lambda p: jnp.concatenate([p, jnp.abs(p[..., 1:2])], -1)
+        else:
+            feat_fn = lambda p: p
     else:
         extra = jnp.asarray(rng.standard_normal((B, N, in_ch - 3)),
                             jnp.float32)

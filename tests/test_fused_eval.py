@@ -179,3 +179,30 @@ def test_pad_query_idx_ball_group_parity():
     for r, g in zip(ref, got):
         assert r.shape == g.shape
         assert jnp.array_equal(r, g)
+
+
+def test_ball_group_internal_pad_slice_branch(monkeypatch):
+    """The REAL dispatch pad-then-slice branch (work >= PALLAS_WORK_MIN
+    triggers pad_query_idx inside ball_group, outputs sliced back to
+    m_orig — including the (B,K,M,3+C) dpfj axis-2 slice): force it at a
+    CPU-sized problem by monkeypatching the threshold; on CPU the padded
+    dispatch lowers through the XLA composite, so the slicing algebra of
+    the shipped code path is compared against the unpadded result
+    (ADVICE r4: the manual-padding test above never enters this branch)."""
+    import adaptpoint_tpu.ops as ops
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 64, 6)), jnp.float32)
+    qidx = jnp.asarray(rng.integers(0, 64, (2, 30)), jnp.int32)
+    ref = ops.ball_group(0.8, 8, xyz, qidx, feats)         # small-work route
+    monkeypatch.setattr(ops, "PALLAS_WORK_MIN", 1)         # force pad branch
+    got = ops.ball_group(0.8, 8, xyz, qidx, feats)
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        assert jnp.array_equal(r, g)
+    # ball_group_max shares the threshold + M%8 gate; qidx M=30 is not
+    # tile-friendly, so with the patched threshold it must still produce
+    # the exact composite result through whichever branch it picks
+    ref_m = ops.ball_group_max(0.8, 8, xyz, qidx, feats)
+    for r, g in zip(ref_m, ops.ball_group_max(0.8, 8, xyz, qidx, feats)):
+        assert jnp.array_equal(r, g)

@@ -224,9 +224,12 @@ def test_flash_attention_golden():
                                    atol=3e-2 * max(scale_b, 1.0))
 
 
-def test_fused_eval_sa_golden():
+@pytest.mark.parametrize("B,N", [(8, 2048), (4, 4096)])
+def test_fused_eval_sa_golden(B, N):
     """Fused eval SA kernel vs the plain eval path on PointNeXt-S at the
-    feedback shape (B=8, N=2048): bf16-grade logits, argmax parity."""
+    feedback shape (B=8, N=2048) and at the gate's upper support bound
+    (N=4096 — ADVICE r4: supports in 2049-4096 rode the kernel with no
+    golden): bf16-grade logits, argmax parity."""
     from adaptpoint_tpu.utils import EasyConfig
     from adaptpoint_tpu.models import build_model_from_cfg
     from adaptpoint_tpu.utils.fastpath import fused_eval
@@ -236,7 +239,6 @@ def test_fused_eval_sa_golden():
     cfg.model.in_channels = cfg.model.encoder_args.in_channels
     model = build_model_from_cfg(cfg.model)
     rng = np.random.default_rng(0)
-    B, N = 8, 2048
     pos = jnp.asarray(rng.standard_normal((B, N, 3)) * 0.4, jnp.float32)
     x = jnp.concatenate([pos, jnp.abs(pos[..., 1:2])], axis=-1)
     variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
