@@ -37,6 +37,13 @@ dumped from the actual reference model, scripts/dump_ref_layouts.py):
   .SA_CONFIG_operator.convs``, pointnetv2.py:149);
 - DGCNN (``encoder.head.gconv.nn`` / ``encoder.backbone.{i}.gconv.nn`` /
   ``encoder.fusion_block``, dgcnn.py:12);
+- PointNet (``encoder.stn``/``encoder.fstn`` STN3d/STNkd + the
+  ``conv0_1..conv3`` trunk, pointnet.py:13-175);
+- PointMLPEncoder (``encoder.embedding`` / ``encoder.local_grouper_list``
+  affine params / ``pre_blocks_list.{i}.transfer`` /
+  ``{pre,pos}_blocks_list.{i}.operation.{j}.net{1,2}``,
+  pointmlp.py:140-352) — with these two, every ScanObjectNN model-zoo
+  row (docs/modelzoo.md:11-19) converts both directions;
 - the AdaptPoint GAN pair as saved by the reference trainer's
   ``save_ganmodel`` (train_autoaug.py:71-78):
   AdaptPoint_Augmentor (generator_component4_15.py:118) via
@@ -70,6 +77,27 @@ _DEC = re.compile(r"^decoder\.decoder\.(\d+)\.(\d+)\.convs\.(\d+)\.([01])\.(.+)$
 _DEC_GLOBAL = re.compile(r"^decoder\.(global_conv[12]|convc)\.0\.0\.(weight|bias)$")
 _PN2 = re.compile(r"^encoder\.SA_modules\.(\d+)\.local_aggregations\.(\d+)\."
                   r"SA_CONFIG_operator\.convs\.(\d+)\.([01])\.(.+)$")
+_PMLP_EMB = re.compile(r"^encoder\.embedding\.net\.([01])\.(.+)$")
+_PMLP_AFF = re.compile(r"^encoder\.local_grouper_list\.(\d+)\."
+                       r"(affine_alpha|affine_beta)$")
+_PMLP_TRANSFER = re.compile(r"^encoder\.pre_blocks_list\.(\d+)\.transfer\."
+                            r"net\.([01])\.(.+)$")
+_PMLP_RES = re.compile(r"^encoder\.(pre|pos)_blocks_list\.(\d+)\."
+                       r"operation\.(\d+)\.net([12])\.([01])\.(.+)$")
+# PointNet (pointnet.py:13-175): fixed module names -> our _MLPBN slots.
+# STN3d/STNkd: conv1/2/3 + fc1/2 are the five _MLPBN blocks, fc3 the bare
+# final Dense; encoder trunk: conv0_1, conv0_2, conv1, conv2, conv3.
+_PNET_STN_DENSE = {"conv1": "_MLPBN_0", "conv2": "_MLPBN_1",
+                   "conv3": "_MLPBN_2", "fc1": "_MLPBN_3", "fc2": "_MLPBN_4"}
+_PNET_STN_BN = {f"bn{i}": f"_MLPBN_{i - 1}" for i in range(1, 6)}
+_PNET_TRUNK_DENSE = {"conv0_1": "_MLPBN_0", "conv0_2": "_MLPBN_1",
+                     "conv1": "_MLPBN_2", "conv2": "_MLPBN_3",
+                     "conv3": "_MLPBN_4"}
+_PNET_TRUNK_BN = {"bn0_1": "_MLPBN_0", "bn0_2": "_MLPBN_1",
+                  "bn1": "_MLPBN_2", "bn2": "_MLPBN_3", "bn3": "_MLPBN_4"}
+_PNET_STN = re.compile(r"^encoder\.(stn|fstn)\.(conv\d|fc\d|bn\d)\.(.+)$")
+_PNET_TRUNK = re.compile(r"^encoder\.(conv0_[12]|conv[123]|bn0_[12]|bn[123])"
+                         r"\.(.+)$")
 _DGCNN_HEAD = re.compile(r"^encoder\.head\.gconv\.nn\.([01])\.(.+)$")
 _DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([01])\.(.+)$")
 _DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([01])\.(.+)$")
@@ -242,6 +270,84 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
         if b != 0:
             return "unhandled", key, None
         out = _convblock(sub, leaf, f"encoder/sa{s}/ConvBlock_{j}")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _PNET_STN.match(key)
+    if m:
+        tnet, mod, leaf = m.group(1), m.group(2), m.group(3)
+        base = f"encoder/{tnet}"
+        if mod == "fc3":  # identity-initialized final transform Dense
+            dst = f"{base}/Dense_0"
+            if leaf == "weight":
+                return "params", f"{dst}/kernel", _dense_kernel
+            return "params", f"{dst}/bias", None
+        if mod in _PNET_STN_DENSE:
+            dst = f"{base}/{_PNET_STN_DENSE[mod]}/Dense_0"
+            if leaf == "weight":
+                return "params", f"{dst}/kernel", _dense_kernel
+            return "params", f"{dst}/bias", None
+        if mod in _PNET_STN_BN:
+            out = _pair("1", leaf, "",
+                        f"{base}/{_PNET_STN_BN[mod]}/BatchNorm_0")
+            if out is not None:
+                return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _PNET_TRUNK.match(key)
+    if m and "encoder.stn." not in key and "encoder.fstn." not in key:
+        mod, leaf = m.group(1), m.group(2)
+        if mod in _PNET_TRUNK_DENSE:
+            dst = f"encoder/{_PNET_TRUNK_DENSE[mod]}/Dense_0"
+            if leaf == "weight":
+                return "params", f"{dst}/kernel", _dense_kernel
+            return "params", f"{dst}/bias", None
+        if mod in _PNET_TRUNK_BN:
+            out = _pair("1", leaf, "",
+                        f"encoder/{_PNET_TRUNK_BN[mod]}/BatchNorm_0")
+            if out is not None:
+                return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _PMLP_EMB.match(key)
+    if m:
+        # PointMLP embedding ConvBNReLU1D (pointmlp.py:199-209) — our
+        # _ConvBNAct scope has a bare Dense_0 + BatchNorm_0 (no NormAct)
+        out = _pair(m.group(1), m.group(2), "encoder/embedding/Dense_0",
+                    "encoder/embedding/BatchNorm_0")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _PMLP_AFF.match(key)
+    if m:
+        # LocalGrouper geometric-affine params (pointmlp.py:165-167):
+        # (1,1,1,C) on both sides, no transform
+        return "params", f"encoder/grouper{m.group(1)}/{m.group(2)}", None
+
+    m = _PMLP_TRANSFER.match(key)
+    if m:
+        out = _pair(m.group(2), m.group(3),
+                    f"encoder/pre{m.group(1)}_transfer/Dense_0",
+                    f"encoder/pre{m.group(1)}_transfer/BatchNorm_0")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _PMLP_RES.match(key)
+    if m:
+        # ConvBNReLURes1D (pointmlp.py:213-243): net1 = expansion conv
+        # (our _ResMLP's _ConvBNAct_0), net2 = projection conv + BN (the
+        # _ResMLP-scope Dense_0/BatchNorm_0)
+        kind, i, j, net, sub, leaf = (m.group(1), m.group(2), m.group(3),
+                                      m.group(4), m.group(5), m.group(6))
+        base = f"encoder/{kind}{i}_res{j}"
+        if net == "1":
+            out = _pair(sub, leaf, f"{base}/_ConvBNAct_0/Dense_0",
+                        f"{base}/_ConvBNAct_0/BatchNorm_0")
+        else:
+            out = _pair(sub, leaf, f"{base}/Dense_0", f"{base}/BatchNorm_0")
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None

@@ -142,6 +142,28 @@ SPECS = {
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
                   "norm_args": {"norm": "bn1d"}},
     ),
+    # cfgs/scanobjectnn/pointnet.yaml (model-zoo protocol,
+    # docs/modelzoo.md:13 — 3.5M params, STN + feature STN)
+    "pointnet_cls": dict(
+        NAME="BaseCls",
+        encoder_args={"NAME": "PointNetEncoder", "in_channels": 4,
+                      "input_transform": True, "feature_transform": True},
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
+                  "norm_args": {"norm": "bn1d"}},
+    ),
+    # cfgs/scanobjectnn/pointmlp.yaml (model-zoo protocol,
+    # docs/modelzoo.md:15 — 13.2M params)
+    "pointmlp_cls": dict(
+        NAME="BaseCls",
+        encoder_args={"NAME": "PointMLPEncoder", "in_channels": 4,
+                      "embed_dim": 64, "res_expansion": 1.0,
+                      "dim_expansion": [2, 2, 2, 2],
+                      "pre_blocks": [2, 2, 2, 2], "pos_blocks": [2, 2, 2, 2],
+                      "k_neighbors": [24, 24, 24, 24],
+                      "reducers": [2, 2, 2, 2]},
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
+                  "norm_args": {"norm": "bn1d"}},
+    ),
     # cfgs/scanobjectnn/dgcnn.yaml (model-zoo protocol)
     "dgcnn_cls": dict(
         NAME="BaseCls",

@@ -609,3 +609,111 @@ def test_dgcnn_reference_logit_parity():
     logits = np.asarray(model.apply(new_vars, pos, x, training=False))
     assert logits.shape == ref_logits.shape
     np.testing.assert_allclose(logits, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_pointmlp_reference_logit_parity():
+    """PointMLP zoo row (docs/modelzoo.md:15): the REAL reference
+    BaseCls+PointMLPEncoder forward on CPU (FPS stubbed with the CUDA
+    semantics; its kNN/grouping is pure torch) vs our converted flax
+    model. Pins the geometric-affine normalization (per-cloud unbiased
+    std), [grouped||center] concat order, neighbor-max pooling, and the
+    transfer/res MLP chains."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    import openpoints.models.backbone.pointmlp as ref_pointmlp
+    ref_pointmlp.furthest_point_sample = _torch_fps
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointmlp_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointmlp_cls.json")))
+    sd = _synth(rows, seed=23)
+    for k in list(sd):
+        if ".1.weight" in k or "net1.1." in k or "net2.1." in k:
+            if k.endswith((".weight",)):
+                sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 256
+    pos_t, x_t = _unit_cloud(B, N, seed=29)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/pointmlp.yaml"),
+             recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_pointnet_reference_logit_parity():
+    """PointNet zoo row (docs/modelzoo.md:13): the reference
+    BaseCls+PointNetEncoder forward is pure torch (STN3d/STNkd + shared
+    MLPs — no CUDA ops at all), so the REAL reference runs unstubbed.
+    Pins the xyz-slice-only input transform, feature-transform bmm, the
+    1024-wide no-act final conv, and the global max pool."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointnet_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointnet_cls.json")))
+    sd = _synth(rows, seed=31)
+    for k in list(sd):
+        if (".bn" in k or ".1.weight" in k) and k.endswith(".weight"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 256
+    pos_t, x_t = _unit_cloud(B, N, seed=37)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(REPO, "cfgs/scanobjectnn/pointnet.yaml"),
+             recursive=True)
+    cfg.model.in_channels = cfg.model.encoder_args.in_channels
+    model = build_model_from_cfg(cfg.model)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)

@@ -547,3 +547,42 @@ def test_strict_rejects_foreign_keys():
     sd = _synth(_fixture("pointnet2_cls"), seed=7)
     with pytest.raises(ValueError):
         convert_reference_state_dict(sd, variables)
+
+
+def test_pointmlp_roundtrip():
+    model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/pointmlp.yaml")
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    rows = _fixture("pointmlp_cls")
+    sd = _synth(rows, seed=6)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["encoder"]["pre1_res0"]
+                   ["_ConvBNAct_0"]["Dense_0"]["kernel"]),
+        sd["encoder.pre_blocks_list.1.operation.0.net1.0.weight"][:, :, 0].T)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["encoder"]["grouper2"]["affine_alpha"]),
+        sd["encoder.local_grouper_list.2.affine_alpha"])
+    logits = model.apply(new_vars, pos, x, training=False)
+    assert logits.shape == (2, 15) and np.isfinite(np.asarray(logits)).all()
+
+
+def test_pointnet_roundtrip():
+    model, pos, x = _build_from_cfg_file("cfgs/scanobjectnn/pointnet.yaml")
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    rows = _fixture("pointnet_cls")
+    sd = _synth(rows, seed=7)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    _assert_clean(report, _n_tensors(rows))
+    _assert_export_identity(new_vars, rows, sd)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["encoder"]["fstn"]["_MLPBN_3"]
+                   ["Dense_0"]["kernel"]),
+        sd["encoder.fstn.fc1.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["batch_stats"]["encoder"]["_MLPBN_4"]
+                   ["BatchNorm_0"]["mean"]),
+        sd["encoder.bn3.running_mean"])
+    logits = model.apply(new_vars, pos, x, training=False)
+    assert logits.shape == (2, 15) and np.isfinite(np.asarray(logits)).all()
