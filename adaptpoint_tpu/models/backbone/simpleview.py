@@ -1,10 +1,12 @@
 """SimpleView: multi-view depth-image projection + per-view CNN.
 
 Parity: openpoints/models/backbone/simpleview.py:32-140 (MVModel, MVFC) and
-simpleview_util.py (PCViews: 6 orthographic views via euler rotations +
-translation, points2depth soft splatting). The depth splat is a
-segment-sum scatter (XLA) instead of the reference's index_add loop; the
-per-view CNN is the same channels-16 ResNet-18-style stack.
+simpleview_util.py (PCViews: 6 views via euler rotations + translation,
+points2depth perspective splatting). The depth splat is a segment-sum
+scatter (XLA) instead of the reference's scatter_add, numerically EXACT vs
+the live reference renderer; the per-view CNN is the same channels-16
+ResNet-18-style stack (torch-padding convs, downsample conv+BN). Full
+converted-weights logit parity: tests/test_simpleview_parity.py.
 """
 from __future__ import annotations
 
@@ -23,9 +25,10 @@ _TRANS = -1.4
 
 
 def _euler2mat(angles):
-    """z-y-x euler angles (V,3) -> rotation matrices (V,3,3)
-    (parity: simpleview_util.py:8-57)."""
-    z, y, x = angles[:, 0], angles[:, 1], angles[:, 2]
+    """(x, y, z) euler angles (V,3) -> xmat @ ymat @ zmat rotation matrices
+    (V,3,3) (parity: simpleview_util.py:8-57 euler2mat — its columns are
+    x, y, z in that order)."""
+    x, y, z = angles[:, 0], angles[:, 1], angles[:, 2]
     cz, sz = np.cos(z), np.sin(z)
     cy, sy = np.cos(y), np.sin(y)
     cx, sx = np.cos(x), np.sin(x)
@@ -42,37 +45,60 @@ def _euler2mat(angles):
 
 
 def _pc_views():
-    """6 canonical views (parity: simpleview_util.py:235-253 PCViews)."""
+    """6 canonical views (parity: simpleview_util.py:235-253 PCViews):
+    angles (x, y, z) = four x-rotations at z=pi/2 plus the two polar
+    y-rotations; rot matrices TRANSPOSED (PCViews.__init__), and the
+    translation is SUBTRACTED in point_transform (so z lands positive
+    around -TRANS = +1.4)."""
     pi = math.pi
     angles = np.asarray([
-        [0, 0, 0], [0, pi / 2, 0], [0, pi, 0], [0, -pi / 2, 0],
-        [pi / 2, 0, 0], [-pi / 2, 0, 0]], np.float32)
-    rot = _euler2mat(angles).astype(np.float32)  # (6,3,3)
+        [0 * pi / 2, 0, pi / 2], [1 * pi / 2, 0, pi / 2],
+        [2 * pi / 2, 0, pi / 2], [3 * pi / 2, 0, pi / 2],
+        [0, -pi / 2, pi / 2], [0, pi / 2, pi / 2]], np.float32)
+    rot = np.transpose(_euler2mat(angles), (0, 2, 1)).astype(np.float32)
     trans = np.asarray([[0, 0, _TRANS]] * 6, np.float32)
     return rot, trans
 
 
 def points2depth(points: jnp.ndarray, resolution: int) -> jnp.ndarray:
-    """Soft depth splat of (BV, N, 3) view-space points -> (BV, H, W, 1)
-    (parity: simpleview_util.py:60-172 distribute/points2depth; XLA
-    segment-sum instead of the CUDA index_add)."""
+    """EXACT depth splat of (BV, N, 3) view-space points -> (BV, H, W, 1)
+    (parity: simpleview_util.py:60-172 distribute/points2depth at the
+    size_x=size_y=1 the model uses; XLA segment-sum instead of the torch
+    scatter_add). Per pixel the reference computes
+    sum(depth * w) / sum(w) with w = mask / (depth + 1e-12) — points
+    behind the camera (depth < 0) or off-canvas carry zero weight, and
+    empty pixels read 0 (weight_scattered zero-fix). Pinned against the
+    live reference implementation by
+    tests/test_simpleview_parity.py::test_renderer_matches_reference."""
     bv, n, _ = points.shape
     h = w = resolution
-    # perspective-ish divide like the reference (x/z, y/z)
-    z = points[..., 2:3]
-    xy = points[..., :2] / jnp.maximum(-z, 1e-4)
-    coord = (xy + 1.0) / 2.0 * (resolution - 1)
-    ix = jnp.clip(jnp.round(coord[..., 0]).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip(jnp.round(coord[..., 1]).astype(jnp.int32), 0, h - 1)
-    flat = iy * w + ix  # (BV, N)
-    depth_val = 1.0 - jnp.abs(z[..., 0]) / jnp.max(jnp.abs(z[..., 0]) + 1e-6)
+    eps = 1e-12
+    z = points[..., 2]
+    # perspective divide (points2depth:149-156); W/H == 1 at the square
+    # resolution but kept for fidelity
+    coord_x = points[..., 0] / (z + eps) * (w / h)
+    coord_y = points[..., 1] / (z + eps)
+    _x = (coord_x + 1.0) * h / 2.0
+    _y = (coord_y + 1.0) * w / 2.0
+    # size-1 window: extend by linspace(-0.5, -0.5, 1) then ceil
+    ex = jnp.ceil(_x - 0.5)
+    ey = jnp.ceil(_y - 0.5)
+    mask = ((ex >= 0) & (ex <= h - 1) & (ey >= 0) & (ey <= w - 1)
+            & (z >= 0))
+    # torch % and jnp.mod agree (result takes the divisor's sign); masked
+    # entries contribute zero weight so the wrap only bounds the index
+    exi = jnp.mod(ex, h).astype(jnp.int32)
+    eyi = jnp.mod(ey, w).astype(jnp.int32)
+    weight = mask.astype(jnp.float32) / (z + eps)
+    weighted_value = z * weight
+    flat = exi * w + eyi  # x indexes rows (distribute:117-118)
 
-    def splat(idx, val):
-        num = jax.ops.segment_sum(val, idx, num_segments=h * w)
-        den = jax.ops.segment_sum(jnp.ones_like(val), idx, num_segments=h * w)
-        return num / jnp.maximum(den, 1.0)
+    def splat(idx, wv, wt):
+        ws = jax.ops.segment_sum(wt, idx, num_segments=h * w)
+        ws = ws + (ws == 0.0).astype(jnp.float32)
+        return jax.ops.segment_sum(wv, idx, num_segments=h * w) / ws
 
-    img = jax.vmap(splat)(flat, depth_val)
+    img = jax.vmap(splat)(flat, weighted_value, weight)
     return img.reshape(bv, h, w, 1)
 
 
@@ -83,15 +109,22 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         identity = x
+        # torch conv3x3 padding=1: explicit (1,1) pads — flax 'SAME' pads
+        # asymmetrically at stride 2 and picks different pixels
         h = nn.Conv(self.channels, (3, 3), strides=(self.stride,) * 2,
-                    use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         h = nn.relu(nn.BatchNorm(use_running_average=not training,
                                  momentum=0.9)(h))
-        h = nn.Conv(self.channels, (3, 3), use_bias=False)(h)
+        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False)(h)
         h = nn.BatchNorm(use_running_average=not training, momentum=0.9)(h)
         if identity.shape != h.shape:
+            # resnet downsample = conv1x1 + BN (resnet.py:186-190); the BN
+            # was missing here until the round-5 reference-parity pass
             identity = nn.Conv(self.channels, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False)(x)
+            identity = nn.BatchNorm(use_running_average=not training,
+                                    momentum=0.9)(identity)
         return nn.relu(h + identity)
 
 
@@ -114,10 +147,13 @@ class MVModel(nn.Module):
         v = rot.shape[0]
         rot_j = jnp.asarray(rot)
         trans_j = jnp.asarray(trans)
-        pts = jnp.einsum("bnc,vcd->bvnd", pos, rot_j) + trans_j[None, :, None, :]
+        # point_transform (simpleview_util.py:280-292): matmul then
+        # SUBTRACT the translation
+        pts = jnp.einsum("bnc,vcd->bvnd", pos, rot_j) - trans_j[None, :, None, :]
         img = points2depth(pts.reshape(b * v, n, 3), self.resolution)
 
-        h = nn.Conv(self.channels, (3, 3), use_bias=False, name="stem")(img)
+        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(img)
         h = nn.relu(nn.BatchNorm(use_running_average=not training,
                                  momentum=0.9, name="stem_bn")(h))
         ch = self.channels

@@ -42,8 +42,10 @@ dumped from the actual reference model, scripts/dump_ref_layouts.py):
 - PointMLPEncoder (``encoder.embedding`` / ``encoder.local_grouper_list``
   affine params / ``pre_blocks_list.{i}.transfer`` /
   ``{pre,pos}_blocks_list.{i}.operation.{j}.net{1,2}``,
-  pointmlp.py:140-352) — with these two, every ScanObjectNN model-zoo
-  row (docs/modelzoo.md:11-19) converts both directions;
+  pointmlp.py:140-352) — with PointNet and PointMLP, every ScanObjectNN
+  model-zoo row (docs/modelzoo.md:11-19) converts both directions;
+- SimpleView MVModel (``img_model`` stem + resnet18 BasicBlock layers +
+  ``final_fc.model`` MVFC, simpleview.py:61-152);
 - the AdaptPoint GAN pair as saved by the reference trainer's
   ``save_ganmodel`` (train_autoaug.py:71-78):
   AdaptPoint_Augmentor (generator_component4_15.py:118) via
@@ -84,6 +86,23 @@ _PMLP_TRANSFER = re.compile(r"^encoder\.pre_blocks_list\.(\d+)\.transfer\."
                             r"net\.([01])\.(.+)$")
 _PMLP_RES = re.compile(r"^encoder\.(pre|pos)_blocks_list\.(\d+)\."
                        r"operation\.(\d+)\.net([12])\.([01])\.(.+)$")
+# SimpleView MVModel (simpleview.py:61-152): img_model Sequential is
+# [conv3x3, bn, relu, layer1..layer4, avgpool, squeeze]; each layer{L} has
+# two BasicBlocks (conv1/bn1/conv2/bn2 + optional downsample conv+bn);
+# final_fc.model = [BatchNormPoint, dropout, flatten, Linear, bn, relu,
+# dropout, Linear].
+_SV_STEM = re.compile(r"^img_model\.([01])\.(.+)$")
+_SV_BLOCK = re.compile(r"^img_model\.([3-6])\.([01])\."
+                       r"(conv1|bn1|conv2|bn2|downsample\.0|downsample\.1)"
+                       r"\.(.+)$")
+_SV_BLOCK_DST = {"conv1": ("params", "Conv_0"), "bn1": ("bn", "BatchNorm_0"),
+                 "conv2": ("params", "Conv_1"), "bn2": ("bn", "BatchNorm_1"),
+                 "downsample.0": ("params", "Conv_2"),
+                 "downsample.1": ("bn", "BatchNorm_2")}
+_SV_FC = re.compile(r"^final_fc\.model\.(0\.bn|3|4|7)\.(.+)$")
+_SV_FC_DST = {"0.bn": ("bn", "mv_bn"), "3": ("dense", "fc1"),
+              "4": ("bn", "fc_bn"), "7": ("dense", "fc2")}
+
 # PointNet (pointnet.py:13-175): fixed module names -> our _MLPBN slots.
 # STN3d/STNkd: conv1/2/3 + fc1/2 are the five _MLPBN blocks, fc3 the bare
 # final Dense; encoder trunk: conv0_1, conv0_2, conv1, conv2, conv3.
@@ -141,6 +160,16 @@ def _dense_kernel(w: np.ndarray) -> np.ndarray:
             raise ValueError(f"non-pointwise conv kernel {w.shape}")
         w = w[..., 0]
     return np.ascontiguousarray(w.T.astype(np.float32))
+
+
+def _conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch 2D conv weight (O, I, kh, kw) -> flax Conv kernel
+    (kh, kw, I, O)."""
+    w = np.asarray(w)
+    if w.ndim != 4:
+        raise ValueError(f"non-2d conv kernel {w.shape}")
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 1, 0)).astype(np.float32))
 
 
 def _pair(sub: str, leaf: str, dense_path: str, bn_path: str):
@@ -270,6 +299,45 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
         if b != 0:
             return "unhandled", key, None
         out = _convblock(sub, leaf, f"encoder/sa{s}/ConvBlock_{j}")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _SV_STEM.match(key)
+    if m:
+        if m.group(1) == "0":  # 3x3 stem conv, no bias
+            if m.group(2) == "weight":
+                return "params", "stem/kernel", _conv2d_kernel
+            return "unhandled", key, None
+        out = _pair("1", m.group(2), "", "stem_bn")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _SV_BLOCK.match(key)
+    if m:
+        layer, blk = int(m.group(1)) - 3, "ab"[int(m.group(2))]
+        kind, dst = _SV_BLOCK_DST[m.group(3)]
+        base = f"res{layer}{blk}"
+        leaf = m.group(4)
+        if kind == "params":
+            if leaf == "weight":
+                return "params", f"{base}/{dst}/kernel", _conv2d_kernel
+            return "unhandled", key, None
+        out = _pair("1", leaf, "", f"{base}/{dst}")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _SV_FC.match(key)
+    if m:
+        kind, dst = _SV_FC_DST[m.group(1)]
+        leaf = m.group(2)
+        if kind == "dense":
+            if leaf == "weight":
+                return "params", f"{dst}/kernel", _dense_kernel
+            return "params", f"{dst}/bias", None
+        out = _pair("1", leaf, "", dst)
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
@@ -883,6 +951,9 @@ def _export(variables, layout_rows, translate, strict, fold_bias):
         val = np.asarray(flat[coll][path], np.float32)
         if tf is _dense_kernel:
             val = np.ascontiguousarray(val.T)     # (in,out) -> (out,in)
+        elif tf is _conv2d_kernel:
+            val = np.ascontiguousarray(           # (kh,kw,I,O) -> (O,I,kh,kw)
+                np.transpose(val, (3, 2, 0, 1)))
         if int(np.prod(val.shape)) != int(np.prod(shape)):
             errors.append(f"{key} <- {coll}:{path}: size {val.shape} "
                           f"vs layout {shape}")

@@ -66,6 +66,10 @@ class _EasyDict(dict):
 
 
 def _import_reference(ref_root):
+    # SimpleView's PCViews calls .cuda() at __init__ (simpleview_util.py
+    # :250-252); on the CPU dump box make it a no-op
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **kw: self
     for name in ("multimethod", "shortuuid",
                  "pointnet2_batch_cuda", "chamfer", "emd_cuda",
                  "pointops_cuda"):
@@ -141,6 +145,12 @@ SPECS = {
             "act_args": {"act": "relu"}, "norm_args": {"norm": "bn"}},
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
                   "norm_args": {"norm": "bn1d"}},
+    ),
+    # SimpleView (simpleview.py:61 MVModel: 6-view depth render +
+    # channels-16 resnet18 trunk + MVFC)
+    "simpleview_cls": dict(
+        NAME="MVModel", task="cls", backbone="resnet18", channels=16,
+        num_classes=15, resolution=128,
     ),
     # cfgs/scanobjectnn/pointnet.yaml (model-zoo protocol,
     # docs/modelzoo.md:13 — 3.5M params, STN + feature STN)
