@@ -19,6 +19,39 @@ from ...ops import (furthest_point_sample, index_points, knn_point,
                     three_interpolation)
 
 
+class Attention(nn.Module):
+    """timm-style packed-qkv attention (parity: openpoints/models/layers/
+    attention.py:12-38): single qkv Linear (bias only with qkv_bias), scaled
+    dot-product over dim//num_heads head channels, output proj Linear WITH
+    bias regardless of qkv_bias (the round-1 flax MHA wrapper dropped the
+    proj bias whenever qkv_bias=False)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = False
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        b, n, c = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                       kernel_init=nn.initializers.xavier_uniform(),
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if self.drop > 0:
+            attn = nn.Dropout(self.drop, deterministic=not training)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        out = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform(),
+                       name="proj")(out)
+        if self.drop > 0:
+            out = nn.Dropout(self.drop, deterministic=not training)(out)
+        return out
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm MHSA + MLP block (parity: openpoints/models/layers/attention.py
     Block)."""
@@ -31,43 +64,118 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6)(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            use_bias=self.qkv_bias, deterministic=not training,
-            dropout_rate=self.drop)(h, h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, self.qkv_bias, self.drop,
+                      name="attn")(h, training)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio),
-                     kernel_init=nn.initializers.xavier_uniform())(h)
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="fc1")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform())(h)
+        h = nn.Dense(self.dim, kernel_init=nn.initializers.xavier_uniform(),
+                     name="fc2")(h)
         return x + h
 
 
+def _embed_norm_act(h, norm: str, act, training: bool):
+    """conv-norm-act tail for the patch-embed convs. 'in2d' is torch
+    InstanceNorm2d with default affine=False (group_embed.py:77 +
+    norm.py:61): paramless per-sample per-channel normalization over the
+    (G, K) spatial axes."""
+    if norm.startswith("in"):
+        mu = jnp.mean(h, axis=(1, 2), keepdims=True)
+        var = jnp.var(h, axis=(1, 2), keepdims=True)
+        h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+    elif norm.startswith("bn"):
+        h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                         epsilon=1e-5)(h)
+    elif norm.startswith("ln"):
+        h = nn.LayerNorm(epsilon=1e-5)(h)
+    else:
+        raise ValueError(f"unknown embed norm {norm}")
+    return act(h) if act is not None else h
+
+
 class PointPatchEmbed(nn.Module):
-    """FPS centers + kNN groups + shared-MLP patch embedding
-    (parity: group_embed.py PointPatchEmbed, feature_type fj)."""
+    """Sample centers + group + two-stage shared-MLP patch embedding
+    (parity: group_embed.py:59-170 PointPatchEmbed): conv1 half over the
+    grouped features (last layer norm/act-free), concat of the K-pooled
+    code back onto every neighbor (channel doubling, :138-141), conv2 half
+    (last layer norm/act-free, bias=True per create_convblock2d:28-31),
+    max-pool over the group. Defaults mirror the reference PointViT
+    embed_args (pointvit.py:25-32): knn grouping, feature_type fj, in2d
+    norm. ``num_groups=0`` uses the reference's sample_ratio semantics
+    (its num_groups kwarg lands in **kwargs and is ignored,
+    group_embed.py:65-82)."""
 
     num_groups: int = 256
     group_size: int = 32
     embed_dim: int = 384
     in_channels: int = 3
+    layers: int = 4
+    sample_ratio: float = 0.0625
+    feature_type: str = "fj"
+    norm: str = "in2d"
+    # the ViT's gelu act_args never reaches the embed: PointViT builds it
+    # from embed_args only, so PointPatchEmbed's own default act (relu,
+    # group_embed.py:78) applies
+    act: str = "relu"
+    group: str = "knn"
+    relative_xyz: bool = True
+    normalize_dp: bool = False
+    radius: float = 0.1
 
     @nn.compact
     def __call__(self, p, x, training: bool = False):
-        idx = furthest_point_sample(p, self.num_groups)
+        from ..layers.blocks import CHANNEL_MAP
+        from ...ops import ball_query
+        g = self.num_groups or int(p.shape[1] * self.sample_ratio)
+        idx = furthest_point_sample(p, g)
         centers = index_points(p, idx)
-        _, nidx = knn_point(self.group_size, p, centers)
-        grouped = index_points(x, nidx)  # (B, G, K, C)
-        rel = index_points(p, nidx) - centers[:, :, None, :]
-        h = jnp.concatenate([rel, grouped], axis=-1)
-        h = ConvBlock(128, norm_args={"norm": "ln"}, act_args={"act": "gelu"})(
-            h, training)
-        h = ConvBlock(256, norm_args={"norm": "ln"}, act_args={"act": "gelu"})(
-            h, training)
-        h = jnp.max(h, axis=2)  # (B, G, 256)
-        h = nn.Dense(self.embed_dim, kernel_init=torch_linear_init)(h)
+        if "knn" in self.group:
+            _, nidx = knn_point(self.group_size, p, centers)
+        else:
+            nidx = ball_query(self.radius, self.group_size, p, centers)
+        fj = index_points(x, nidx)  # (B, G, K, C)
+        if self.feature_type in ("dp", "dp_fj", "dp_df"):
+            dp = index_points(p, nidx)
+            if self.relative_xyz:
+                dp = dp - centers[:, :, None, :]
+                if self.normalize_dp:
+                    dp = dp / self.radius
+            if self.feature_type == "dp":
+                h = dp
+            elif self.feature_type == "dp_fj":
+                h = jnp.concatenate([dp, fj], axis=-1)
+            else:  # dp_df
+                cx = index_points(x, idx)[:, :, None, :]
+                h = jnp.concatenate([dp, fj - cx], axis=-1)
+        elif self.feature_type == "df":
+            h = fj - index_points(x, idx)[:, :, None, :]
+        else:  # fj
+            h = fj
+
+        e, L = self.embed_dim, self.layers
+        channels = ([CHANNEL_MAP[self.feature_type](self.in_channels)]
+                    + [e] * (L // 2) + [e * 2] * (L // 2 - 1) + [e])
+        act = create_act({"act": self.act})
+        for i in range(L // 2):  # conv1 (last: bare biased Dense)
+            last = i == L // 2 - 1
+            h = nn.Dense(channels[i + 1], use_bias=last,
+                         kernel_init=torch_linear_init)(h)
+            if not last:
+                h = _embed_norm_act(h, self.norm, act, training)
+        pooled = jnp.max(h, axis=2, keepdims=True)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(pooled, h.shape), h], axis=-1)
+        for i in range(L // 2, L):  # conv2 (its input is the doubled concat)
+            last = i == L - 1
+            h = nn.Dense(channels[i + 1], use_bias=last,
+                         kernel_init=torch_linear_init)(h)
+            if not last:
+                h = _embed_norm_act(h, self.norm, act, training)
+        h = jnp.max(h, axis=2)  # (B, G, embed_dim)
         return centers, h
 
 
@@ -142,7 +250,7 @@ class PointViT(nn.Module):
                                   self.mlp_ratio, self.qkv_bias,
                                   self.drop_rate, name=f"block{i}")(
                 hx + pos_all, training)
-        hx = nn.LayerNorm(epsilon=1e-6)(hx)
+        hx = nn.LayerNorm(epsilon=1e-6, name="norm")(hx)
         return centers, hx
 
     def __call__(self, p, x=None, training: bool = False):

@@ -46,6 +46,10 @@ dumped from the actual reference model, scripts/dump_ref_layouts.py):
   model-zoo row (docs/modelzoo.md:11-19) converts both directions;
 - SimpleView MVModel (``img_model`` stem + resnet18 BasicBlock layers +
   ``final_fc.model`` MVFC, simpleview.py:61-152);
+- PointViT (``encoder.patch_embed.conv{1,2}`` two-stage embed — in2d
+  InstanceNorm is paramless — ``cls_token``/``cls_pos``/``pos_embed``,
+  ``blocks.{i}`` packed-qkv transformer blocks, final ``norm``;
+  pointvit.py:17-176 + layers/group_embed.py:59-170);
 - the AdaptPoint GAN pair as saved by the reference trainer's
   ``save_ganmodel`` (train_autoaug.py:71-78):
   AdaptPoint_Augmentor (generator_component4_15.py:118) via
@@ -102,6 +106,23 @@ _SV_BLOCK_DST = {"conv1": ("params", "Conv_0"), "bn1": ("bn", "BatchNorm_0"),
 _SV_FC = re.compile(r"^final_fc\.model\.(0\.bn|3|4|7)\.(.+)$")
 _SV_FC_DST = {"0.bn": ("bn", "mv_bn"), "3": ("dense", "fc1"),
               "4": ("bn", "fc_bn"), "7": ("dense", "fc2")}
+
+# PointViT (pointvit.py:17-176 + layers/group_embed.py:59-170 +
+# layers/attention.py:12-58): the patch-embed convs flatten to Dense_0..3
+# (in2d InstanceNorm is paramless), transformer blocks keep torch's own
+# member names (norm1/attn.qkv/attn.proj/norm2/mlp.fc1/mlp.fc2).
+_VIT_TOKEN = re.compile(r"^encoder\.(cls_token|cls_pos|dist_token|dist_pos)$")
+_VIT_POS = re.compile(r"^encoder\.pos_embed\.(0\.0|1)\.(weight|bias)$")
+_VIT_EMBED = re.compile(r"^encoder\.patch_embed\.conv([12])\.(\d+)\.0\."
+                        r"(weight|bias)$")
+_VIT_BLOCK = re.compile(r"^encoder\.blocks\.(\d+)\."
+                        r"(norm1|norm2|attn\.qkv|attn\.proj|mlp\.fc1|mlp\.fc2)"
+                        r"\.(weight|bias)$")
+_VIT_NORM = re.compile(r"^encoder\.norm\.(weight|bias)$")
+_VIT_BLOCK_DST = {"norm1": ("ln", "norm1"), "norm2": ("ln", "norm2"),
+                  "attn.qkv": ("dense", "attn/qkv"),
+                  "attn.proj": ("dense", "attn/proj"),
+                  "mlp.fc1": ("dense", "fc1"), "mlp.fc2": ("dense", "fc2")}
 
 # PointNet (pointnet.py:13-175): fixed module names -> our _MLPBN slots.
 # STN3d/STNkd: conv1/2/3 + fc1/2 are the five _MLPBN blocks, fc3 the bare
@@ -302,6 +323,46 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
+
+    m = _VIT_TOKEN.match(key)
+    if m:
+        return "params", f"encoder/{m.group(1)}", None
+
+    m = _VIT_POS.match(key)
+    if m:
+        dst = "pos1" if m.group(1) == "0.0" else "pos2"
+        if m.group(2) == "weight":
+            return "params", f"encoder/{dst}/kernel", _dense_kernel
+        return "params", f"encoder/{dst}/bias", None
+
+    m = _VIT_EMBED.match(key)
+    if m:
+        conv, j, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+        # conv2 indices continue after conv1's blocks (Dense_0..Dense_{L-1})
+        n_conv1 = len({k.split(".")[3] for k in sd_keys
+                       if k.startswith("encoder.patch_embed.conv1.")}) or 2
+        slot = j if conv == 1 else n_conv1 + j
+        dst = f"encoder/patch_embed/Dense_{slot}"
+        if leaf == "weight":
+            return "params", f"{dst}/kernel", _dense_kernel
+        return "params", f"{dst}/bias", None
+
+    m = _VIT_BLOCK.match(key)
+    if m:
+        i, kind_leaf = m.group(1), _VIT_BLOCK_DST[m.group(2)]
+        kind, dst = kind_leaf
+        base = f"encoder/block{i}/{dst}"
+        leaf = m.group(3)
+        if kind == "ln":
+            return "params", f"{base}/{'scale' if leaf == 'weight' else 'bias'}", None
+        if leaf == "weight":
+            return "params", f"{base}/kernel", _dense_kernel
+        return "params", f"{base}/bias", None
+
+    m = _VIT_NORM.match(key)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return "params", f"encoder/norm/{leaf}", None
 
     m = _SV_STEM.match(key)
     if m:

@@ -146,6 +146,21 @@ SPECS = {
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
                   "norm_args": {"norm": "bn1d"}},
     ),
+    # PointViT (cfgs/scanobjectnn/pointvit.yaml protocol, reference
+    # pointvit.py:17 — reference embed ignores num_groups and uses
+    # sample_ratio, group_embed.py:65-82)
+    "pointvit_cls": dict(
+        NAME="BaseCls",
+        encoder_args={
+            "NAME": "PointViT", "in_channels": 4, "embed_dim": 48,
+            "depth": 2, "num_heads": 3,
+            "embed_args": {"NAME": "PointPatchEmbed", "sample_ratio": 0.0625,
+                           "group_size": 8, "subsample": "fps",
+                           "group": "knn", "feature_type": "fj",
+                           "norm_args": {"norm": "in2d"}}},
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
+                  "norm_args": {"norm": "bn1d"}},
+    ),
     # SimpleView (simpleview.py:61 MVModel: 6-view depth render +
     # channels-16 resnet18 trunk + MVFC)
     "simpleview_cls": dict(

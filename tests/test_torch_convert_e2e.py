@@ -717,3 +717,71 @@ def test_pointnet_reference_logit_parity():
 
     logits = np.asarray(model.apply(new_vars, pos, x, training=False))
     np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_pointvit_reference_logit_parity():
+    """PointViT (the PointBERT/MAE base): the REAL reference
+    BaseCls+PointViT forward on CPU (FPS stubbed; its kNN is pure-torch
+    cdist+topk) vs our converted flax model. Pins the two-stage patch
+    embed (conv1 -> pooled-concat channel doubling -> conv2, paramless
+    in2d InstanceNorm, norm-free biased last convs), packed-qkv attention
+    with the qkv-bias-free/proj-biased split, pre-norm blocks with
+    per-block pos add, and the cls||max global feature."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    import openpoints.models.layers.group_embed as ref_embed
+    ref_embed.furthest_point_sample = _torch_fps
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["pointvit_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_pointvit_cls.json")))
+    sd = _synth(rows, seed=47)
+    for k in list(sd):
+        if ".1.weight" in k and sd[k].ndim == 1:
+            sd[k] = np.abs(sd[k]) + 0.5
+        if k.endswith(("norm1.weight", "norm2.weight", "norm.weight")) \
+                and sd[k].ndim == 1:
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 256
+    pos_t, x_t = _unit_cloud(B, N, seed=53)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.update({"NAME": "BaseCls",
+                "in_channels": 4,
+                "encoder_args": {
+                    "NAME": "PointViT", "in_channels": 4, "embed_dim": 48,
+                    "depth": 2, "num_heads": 3,
+                    # the reference ignores its num_groups kwarg and uses
+                    # sample_ratio=0.0625 -> 16 groups at N=256
+                    "num_groups": 16, "group_size": 8},
+                "cls_args": {"NAME": "ClsHead", "num_classes": 15,
+                             "mlps": [512, 256],
+                             "norm_args": {"norm": "bn1d"}}})
+    model = build_model_from_cfg(cfg)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
