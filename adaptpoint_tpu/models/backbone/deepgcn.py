@@ -49,33 +49,43 @@ class DeepGCN(nn.Module):
 
     @nn.compact
     def _backbone(self, pos, features, training: bool):
+        """Round-5 reference-parity fixes: (a) the fusion block consumes
+        the CONCAT of the head + every block output in res/plain mode too
+        (deepcgn forward:123-127, fusion_dims:76-80), not just the last
+        block; (b) block dilation is 1+i UNCAPPED (res path :70-75);
+        (c) graph-conv act defaults to relu (deepgcn.py:26) — only the
+        fusion block is leakyrelu(0.2) (:89-92)."""
         norm_args = self.norm_args or {"norm": "bn"}
-        act_args = self.act_args or {"act": "leakyrelu", "negative_slope": 0.2}
+        act_args = self.act_args or {"act": "relu"}
         if features is None:
             features = pos
         idx = dilated_knn(pos, self.k, 1)
         x = EdgeConv(self.channels, norm_args, act_args, self.conv_args,
                      name="head")(features, idx, training)
         feats = [x]
-        ch = self.channels
         for i in range(self.n_blocks - 1):
-            d = min(i + 1, 4) if self.use_dilation else 1
+            d = (i + 1) if self.use_dilation and self.block != "plain" else 1
             idx = dilated_knn(feats[-1], self.k, d)
             if self.block == "res":
-                h = EdgeConv(ch, norm_args, act_args, self.conv_args,
-                             name=f"block{i}")(feats[-1], idx, training)
+                h = EdgeConv(self.channels, norm_args, act_args,
+                             self.conv_args, name=f"block{i}")(
+                    feats[-1], idx, training)
                 feats.append(h + feats[-1])
-            else:  # dense
+            elif self.block == "dense":
                 h = EdgeConv(self.channels, norm_args, act_args,
                              self.conv_args, name=f"block{i}")(
                     feats[-1], idx, training)
                 feats.append(jnp.concatenate([feats[-1], h], axis=-1))
-                ch += self.channels
-        fused = jnp.concatenate(feats, axis=-1) if self.block == "dense" \
-            else feats[-1]
+            else:  # plain: no residual, no dilation
+                feats.append(EdgeConv(self.channels, norm_args, act_args,
+                                      self.conv_args, name=f"block{i}")(
+                    feats[-1], idx, training))
+        fused = jnp.concatenate(feats, axis=-1)
         order = (self.conv_args or {}).get("order", "conv-norm-act")
         return ConvBlock(self.emb_dims, norm_args=norm_args,
-                         act_args=act_args, order=order, bias=False,
+                         act_args={"act": "leakyrelu",
+                                   "negative_slope": 0.2},
+                         order=order, bias=False,
                          name="fusion")(fused, training)
 
     def __call__(self, pos, features=None, training: bool = False):

@@ -140,6 +140,10 @@ _PNET_TRUNK = re.compile(r"^encoder\.(conv0_[12]|conv[123]|bn0_[12]|bn[123])"
                          r"\.(.+)$")
 _DGCNN_HEAD = re.compile(r"^encoder\.head\.gconv\.nn\.([01])\.(.+)$")
 _DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([01])\.(.+)$")
+# DeepGCN Res/DenseDynBlock wraps its DynConv in `.body`
+# (layers/graph_conv.py:92-125); head + fusion share the DGCNN patterns
+_DEEPGCN_BLOCK = re.compile(
+    r"^encoder\.backbone\.(\d+)\.body\.gconv\.nn\.([01])\.(.+)$")
 _DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([01])\.(.+)$")
 
 _BN_PARAM = {"weight": "scale", "bias": "bias"}
@@ -488,7 +492,7 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
 
-    m = _DGCNN_BLOCK.match(key)
+    m = _DGCNN_BLOCK.match(key) or _DEEPGCN_BLOCK.match(key)
     if m:
         out = _convblock(m.group(2), m.group(3),
                          f"encoder/block{m.group(1)}/ConvBlock_0")

@@ -146,6 +146,16 @@ SPECS = {
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
                   "norm_args": {"norm": "bn1d"}},
     ),
+    # DeepGCN (reference deepgcn.py:13 defaults scaled down: res blocks,
+    # dilated dynamic kNN, concat-all fusion)
+    "deepgcn_cls": dict(
+        NAME="BaseCls",
+        encoder_args={"NAME": "DeepGCN", "in_channels": 4, "channels": 16,
+                      "emb_dims": 32, "n_blocks": 4, "k": 4,
+                      "use_stochastic": False},
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [64],
+                  "norm_args": {"norm": "bn1d"}},
+    ),
     # PointViT (cfgs/scanobjectnn/pointvit.yaml protocol, reference
     # pointvit.py:17 — reference embed ignores num_groups and uses
     # sample_ratio, group_embed.py:65-82)

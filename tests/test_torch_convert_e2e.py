@@ -785,3 +785,59 @@ def test_pointvit_reference_logit_parity():
 
     logits = np.asarray(model.apply(new_vars, pos, x, training=False))
     np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_deepgcn_reference_logit_parity():
+    """DeepGCN: the reference dynamic-graph forward is pure torch beyond
+    grouping_operation (stubbed) — kNN is cdist+topk. Pins the round-5
+    fixes: concat-all fusion input (deepgcn.py:123-127), uncapped 1+i
+    dilation, relu graph convs with a leakyrelu(0.2) fusion block."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["deepgcn_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_deepgcn_cls.json")))
+    sd = _synth(rows, seed=59)
+    for k in list(sd):
+        if ".1.weight" in k or k.endswith("nn.1.weight"):
+            if sd[k].ndim == 1:
+                sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 128
+    pos_t, x_t = _unit_cloud(B, N, seed=61)
+    with torch.no_grad():
+        ref_logits = ref_model({"pos": pos_t,
+                                "x": x_t.permute(0, 2, 1).contiguous()})
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.update({"NAME": "BaseCls", "in_channels": 4,
+                "encoder_args": {"NAME": "DeepGCN", "in_channels": 4,
+                                 "channels": 16, "emb_dims": 32,
+                                 "n_blocks": 4, "k": 4},
+                "cls_args": {"NAME": "ClsHead", "num_classes": 15,
+                             "mlps": [64], "norm_args": {"norm": "bn1d"}}})
+    model = build_model_from_cfg(cfg)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
