@@ -75,6 +75,10 @@ class DGCNN(nn.Module):
     def _backbone(self, pos, features, training: bool):
         norm_args = self.norm_args or {"norm": "bn"}
         act_args = self.act_args or {"act": "leakyrelu", "negative_slope": 0.2}
+        # the reference BallDGCNN defaults to conv-ACT-norm
+        # (ball_dgcnn.py:25 conv_args) while DGCNN is conv-norm-act
+        conv_args = self.conv_args or (
+            {"order": "conv-act-norm"} if self.graph == "ball" else None)
         if features is None:
             features = pos
 
@@ -87,18 +91,18 @@ class DGCNN(nn.Module):
 
         # head: static graph from xyz (dgcnn.py:50,80)
         idx = graph(pos)
-        feats = [EdgeConv(self.channels, norm_args, act_args, self.conv_args,
+        feats = [EdgeConv(self.channels, norm_args, act_args, conv_args,
                           name="head")(features, idx, training)]
         ch = self.channels
         for i in range(self.n_blocks - 2):
             # dynamic graph recomputed in feature space (graph_conv.py:76-90);
             # ball variant keeps the fixed xyz graph (ball_dgcnn.py:52)
             idx = graph(feats[-1])
-            feats.append(EdgeConv(ch, norm_args, act_args, self.conv_args,
+            feats.append(EdgeConv(ch, norm_args, act_args, conv_args,
                                   name=f"block{i}")(feats[-1], idx, training))
             ch *= 2
         fused = jnp.concatenate(feats, axis=-1)
-        order = (self.conv_args or {}).get("order", "conv-norm-act")
+        order = (conv_args or {}).get("order", "conv-norm-act")
         fusion = ConvBlock(self.embed_dim, norm_args=norm_args,
                            act_args=act_args, order=order, bias=False,
                            name="fusion")(fused, training)

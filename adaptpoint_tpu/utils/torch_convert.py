@@ -138,13 +138,13 @@ _PNET_TRUNK_BN = {"bn0_1": "_MLPBN_0", "bn0_2": "_MLPBN_1",
 _PNET_STN = re.compile(r"^encoder\.(stn|fstn)\.(conv\d|fc\d|bn\d)\.(.+)$")
 _PNET_TRUNK = re.compile(r"^encoder\.(conv0_[12]|conv[123]|bn0_[12]|bn[123])"
                          r"\.(.+)$")
-_DGCNN_HEAD = re.compile(r"^encoder\.head\.gconv\.nn\.([01])\.(.+)$")
-_DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([01])\.(.+)$")
+_DGCNN_HEAD = re.compile(r"^encoder\.head\.gconv\.nn\.([012])\.(.+)$")
+_DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([012])\.(.+)$")
 # DeepGCN Res/DenseDynBlock wraps its DynConv in `.body`
 # (layers/graph_conv.py:92-125); head + fusion share the DGCNN patterns
 _DEEPGCN_BLOCK = re.compile(
     r"^encoder\.backbone\.(\d+)\.body\.gconv\.nn\.([01])\.(.+)$")
-_DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([01])\.(.+)$")
+_DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([012])\.(.+)$")
 
 _BN_PARAM = {"weight": "scale", "bias": "bias"}
 _BN_STAT = {"running_mean": "mean", "running_var": "var"}
@@ -220,6 +220,16 @@ def _pair(sub: str, leaf: str, dense_path: str, bn_path: str):
 def _convblock(sub: str, leaf: str, base: str):
     """A torch conv+BN pair mapped onto our ConvBlock/LinearBlock tree."""
     return _pair(sub, leaf, f"{base}/Dense_0", f"{base}/NormAct_0/BatchNorm_0")
+
+
+def _convblock_any(sub: str, leaf: str, base: str):
+    """conv-norm-act (norm at Sequential slot 1 -> NormAct_0) OR
+    conv-act-norm (act at 1, norm at 2 -> NormAct_1: ConvBlock's
+    conv-act-norm branch constructs a second NormAct, blocks.py:202-207;
+    the BallDGCNN family uses this order, ball_dgcnn.py:25)."""
+    if sub == "2":
+        return _pair("1", leaf, "", f"{base}/NormAct_1/BatchNorm_0")
+    return _convblock(sub, leaf, base)
 
 
 def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
@@ -487,15 +497,15 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
 
     m = _DGCNN_HEAD.match(key)
     if m:
-        out = _convblock(m.group(1), m.group(2), "encoder/head/ConvBlock_0")
+        out = _convblock_any(m.group(1), m.group(2), "encoder/head/ConvBlock_0")
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
 
     m = _DGCNN_BLOCK.match(key) or _DEEPGCN_BLOCK.match(key)
     if m:
-        out = _convblock(m.group(2), m.group(3),
-                         f"encoder/block{m.group(1)}/ConvBlock_0")
+        out = _convblock_any(m.group(2), m.group(3),
+                             f"encoder/block{m.group(1)}/ConvBlock_0")
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None
@@ -503,7 +513,7 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
     m = _DGCNN_FUSION.match(key)
     if m:
         # fusion_block is itself the ConvBlock module (named 'fusion')
-        out = _convblock(m.group(1), m.group(2), "encoder/fusion")
+        out = _convblock_any(m.group(1), m.group(2), "encoder/fusion")
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None

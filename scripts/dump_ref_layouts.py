@@ -81,6 +81,10 @@ def _import_reference(ref_root):
     sys.path.insert(0, ref_root)
     import openpoints.models as ref_models          # noqa: F401
     import openpoints.models_adaptpoint as ref_gan  # noqa: F401
+    # backbones the reference never wires into backbone/__init__.py but
+    # ships registered (vestigial files, SURVEY §2): import so their
+    # @MODELS.register_module() decorators run
+    import openpoints.models.backbone.ball_dgcnn   # noqa: F401
     return ref_models, ref_gan
 
 
@@ -145,6 +149,18 @@ SPECS = {
             "act_args": {"act": "relu"}, "norm_args": {"norm": "bn"}},
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
                   "norm_args": {"norm": "bn1d"}},
+    ),
+    # BallDGCNN (ball_dgcnn.py:13: static ball-query graph, conv-act-norm
+    # blocks, concat-all fusion)
+    "balldgcnn_cls": dict(
+        NAME="BaseCls",
+        encoder_args={"NAME": "BallDGCNN", "in_channels": 4, "channels": 16,
+                      "embed_dim": 32, "n_blocks": 4, "k": 8,
+                      "radius": 0.4},
+        # reference BallDGCNN defines no out_channels attr, so the head's
+        # in_channels (max||avg = 2*embed_dim) must be explicit
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [64],
+                  "in_channels": 64, "norm_args": {"norm": "bn1d"}},
     ),
     # DeepGCN (reference deepgcn.py:13 defaults scaled down: res blocks,
     # dilated dynamic kNN, concat-all fusion)

@@ -841,3 +841,63 @@ def test_deepgcn_reference_logit_parity():
 
     logits = np.asarray(model.apply(new_vars, pos, x, training=False))
     np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_balldgcnn_reference_logit_parity():
+    """BallDGCNN (vestigial in the reference registry but shipped): static
+    ball-query graph reused by every EdgeConv, conv-ACT-norm block order
+    (the round-5 fix — our default was conv-norm-act), concat-all fusion.
+    Ball query rides the documented CUDA first-K-in-index-order stub."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    import openpoints.models.backbone.ball_dgcnn  # noqa: F401 (registers)
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["balldgcnn_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_balldgcnn_cls.json")))
+    sd = _synth(rows, seed=67)
+    for k in list(sd):
+        if sd[k].ndim == 1 and k.endswith(".weight"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 128
+    pos_t, x_t = _unit_cloud(B, N, seed=71)
+    with torch.no_grad():
+        # the vestigial reference forward takes raw tensors only (no dict
+        # handling): drive encoder + prediction directly
+        feat = ref_model.encoder.forward_cls_feat(
+            pos_t, x_t.permute(0, 2, 1).contiguous().unsqueeze(-1))
+        ref_logits = ref_model.prediction(feat)
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.update({"NAME": "BaseCls", "in_channels": 4,
+                "encoder_args": {"NAME": "BallDGCNN", "in_channels": 4,
+                                 "channels": 16, "embed_dim": 32,
+                                 "n_blocks": 4, "k": 8, "radius": 0.4},
+                "cls_args": {"NAME": "ClsHead", "num_classes": 15,
+                             "mlps": [64], "in_channels": 64,
+                             "norm_args": {"norm": "bn1d"}}})
+    model = build_model_from_cfg(cfg)
+    pos, x = jnp.asarray(pos_t.numpy()), jnp.asarray(x_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, x, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, x, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
