@@ -35,9 +35,13 @@ class GroupPointNet(nn.Module):
     def _forward(self, p, f, training: bool):
         if f is None:
             f = p
+        # faithful quirk: the reference default group_args use a 'group'
+        # key that create_grouper never reads (it pops 'NAME', defaulting
+        # to ballquery; grouppointnet.py:18-21 + group.py:338-352) — so
+        # the reference GroupPointNet actually groups by BALL QUERY r=0.1
         group_args = dict(self.group_args or
-                          {"NAME": "knn", "radius": 0.1, "nsample": 20})
-        group_args.setdefault("NAME", group_args.pop("group", "knn"))
+                          {"radius": 0.1, "nsample": 20})
+        group_args.pop("group", None)
         m = int(p.shape[1] * self.sample_ratio)
         idx = furthest_point_sample(p, m)
         p1 = index_points(p, idx)

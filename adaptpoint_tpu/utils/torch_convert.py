@@ -144,6 +144,9 @@ _DGCNN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.gconv\.nn\.([012])\.(.+)$
 # (layers/graph_conv.py:92-125); head + fusion share the DGCNN patterns
 _DEEPGCN_BLOCK = re.compile(
     r"^encoder\.backbone\.(\d+)\.body\.gconv\.nn\.([01])\.(.+)$")
+# GroupPointNet: backbone.{i} ARE the convblocks (grouppointnet.py:54-61),
+# conv-act-norm order -> norm at slot 2
+_GPN_BLOCK = re.compile(r"^encoder\.backbone\.(\d+)\.([012])\.(.+)$")
 _DGCNN_FUSION = re.compile(r"^encoder\.fusion_block\.([012])\.(.+)$")
 
 _BN_PARAM = {"weight": "scale", "bias": "bias"}
@@ -506,6 +509,14 @@ def _translate(key: str, sd_keys) -> Tuple[str, str, Any]:
     if m:
         out = _convblock_any(m.group(2), m.group(3),
                              f"encoder/block{m.group(1)}/ConvBlock_0")
+        if out is not None:
+            return ("drop", key, None) if out[0] == "drop" else out
+        return "unhandled", key, None
+
+    m = _GPN_BLOCK.match(key)
+    if m:
+        out = _convblock_any(m.group(2), m.group(3),
+                             f"encoder/conv{m.group(1)}")
         if out is not None:
             return ("drop", key, None) if out[0] == "drop" else out
         return "unhandled", key, None

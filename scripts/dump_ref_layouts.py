@@ -85,6 +85,7 @@ def _import_reference(ref_root):
     # ships registered (vestigial files, SURVEY §2): import so their
     # @MODELS.register_module() decorators run
     import openpoints.models.backbone.ball_dgcnn   # noqa: F401
+    import openpoints.models.backbone.grouppointnet  # noqa: F401
     return ref_models, ref_gan
 
 
@@ -148,6 +149,18 @@ SPECS = {
             "conv_args": {"order": "conv-norm-act"},
             "act_args": {"act": "relu"}, "norm_args": {"norm": "bn"}},
         cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [512, 256],
+                  "norm_args": {"norm": "bn1d"}},
+    ),
+    # GroupPointNet (grouppointnet.py:11: one FPS + grouping + conv2d
+    # stack; its default group_args' 'group' key is ignored by
+    # create_grouper -> ball query r=0.1)
+    "grouppointnet_cls": dict(
+        NAME="BaseCls",
+        encoder_args={"NAME": "GroupPointNet", "in_channels": 3,
+                      "channels": 16, "n_blocks": 4, "sample_ratio": 0.25,
+                      "group_args": {"group": "knn", "radius": 0.4,
+                                     "nsample": 8}},
+        cls_args={"NAME": "ClsHead", "num_classes": 15, "mlps": [64],
                   "norm_args": {"norm": "bn1d"}},
     ),
     # BallDGCNN (ball_dgcnn.py:13: static ball-query graph, conv-act-norm

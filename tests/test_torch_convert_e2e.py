@@ -901,3 +901,66 @@ def test_balldgcnn_reference_logit_parity():
 
     logits = np.asarray(model.apply(new_vars, pos, x, training=False))
     np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_grouppointnet_reference_logit_parity():
+    """GroupPointNet (vestigial in the reference registry): one FPS +
+    grouping + conv-act-norm conv2d stack, K-pool then M-max||M-avg. Pins
+    the round-5 quirk fix: the reference's default group_args carry a
+    'group' key create_grouper never reads, so grouping is BALL QUERY."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    mod = _dump_mod()
+    mod._import_reference("/root/reference")
+    _patch_reference_ops()
+    import openpoints.models.backbone.grouppointnet as ref_gpn
+    ref_gpn.furthest_point_sample = _torch_fps
+    from openpoints.models import build_model_from_cfg as build_ref
+
+    ref_model = build_ref(mod._attrdict(mod.SPECS["grouppointnet_cls"]))
+    rows = json.load(open(os.path.join(
+        HERE, "fixtures", "ref_layout_grouppointnet_cls.json")))
+    sd = _synth(rows, seed=73)
+    for k in list(sd):
+        if sd[k].ndim == 1 and k.endswith(".weight"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    missing, unexpected = ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    assert not missing and not unexpected
+    ref_model.eval()
+
+    B, N = 2, 128
+    pos_t, _ = _unit_cloud(B, N, seed=79)
+    with torch.no_grad():
+        # the vestigial f=None default unsqueezes features to 4-D, which
+        # its own grouper cannot gather — pass (B,3,N) features explicitly
+        feat = ref_model.encoder.forward_cls_feat(
+            pos_t, pos_t.transpose(1, 2).contiguous())
+        ref_logits = ref_model.prediction(feat)
+    ref_logits = ref_logits.numpy()
+
+    from adaptpoint_tpu.models import build_model_from_cfg
+    from adaptpoint_tpu.utils import EasyConfig
+    from adaptpoint_tpu.utils.torch_convert import (
+        convert_reference_state_dict)
+
+    cfg = EasyConfig()
+    cfg.update({"NAME": "BaseCls", "in_channels": 3,
+                "encoder_args": {"NAME": "GroupPointNet", "in_channels": 3,
+                                 "channels": 16, "n_blocks": 4,
+                                 "sample_ratio": 0.25,
+                                 "group_args": {"group": "knn",
+                                                "radius": 0.4,
+                                                "nsample": 8}},
+                "cls_args": {"NAME": "ClsHead", "num_classes": 15,
+                             "mlps": [64], "norm_args": {"norm": "bn1d"}}})
+    model = build_model_from_cfg(cfg)
+    pos = jnp.asarray(pos_t.numpy())
+    variables = model.init(jax.random.PRNGKey(0), pos, None, training=False)
+    new_vars, report = convert_reference_state_dict(sd, variables)
+    assert not report.unhandled and not report.missing, (
+        report.unhandled[:5], report.missing[:5])
+
+    logits = np.asarray(model.apply(new_vars, pos, None, training=False))
+    np.testing.assert_allclose(logits, ref_logits, rtol=5e-4, atol=5e-4)
