@@ -19,11 +19,24 @@ REPO = os.path.dirname(HERE)
 
 
 def _load_bench():
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(REPO, "bench.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    """Import bench.py WITHOUT leaking its opt-in env (module level sets
+    ADAPTPOINT_TPU_EVAL_DPFJ/EVAL_FUSED for the measured run; leaked into
+    the test process they flip later parity tests onto the bf16 fast
+    paths — the round-5 full-suite pollution bug)."""
+    saved = {k: os.environ.get(k) for k in
+             ("ADAPTPOINT_TPU_EVAL_DPFJ", "ADAPTPOINT_TPU_EVAL_FUSED")}
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(REPO, "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def test_health_gate_cap_and_budget():
