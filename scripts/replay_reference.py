@@ -103,58 +103,39 @@ def main():
                       delta=round(float(oa) - expected, 2))
     print(json.dumps(result))
 
-    # 3. optional corruption sweep on the same restored state
+    # 3. optional corruption sweep on the same restored state — through
+    #    the corruption-mode engine's shipped test path
+    #    (engine/corrupt_main.py: cfg.test + pretrained_path sweeps and
+    #    returns without training)
     if args.corruptions:
+        from adaptpoint_tpu.engine.corrupt_main import main as corrupt_main
         sweep_cfg = EasyConfig()
         sweep_cfg.load(args.cfg, recursive=True)
         sweep_cfg.update_opts(opts)
         sweep_cfg.update(dict(
             mode=("modelnetc" if "modelnet" in cfg.task_name
                   else "scanobjectnnc"),
-            pretrained_path=out, epochs=0, run_dir=cfg.run_dir,
+            test=True, pretrained_path=out, epochs=1, run_dir=cfg.run_dir,
             log_path=cfg.log_path, seed=cfg.seed,
             task_name=cfg.task_name, cfg_basename=cfg.cfg_basename))
-        _sweep(sweep_cfg)
+        if not sweep_cfg.get("datatransforms_scanobjectnn_c"):
+            # plain (non-valcorruption) cfgs don't carry the -C transform
+            # block; default to the corruption protocol's
+            # (pointnext-s_valcorruption.yaml:38-41 — the
+            # PointCloudCenterAndNormalize gravity_dim emits the height
+            # feature 4-channel models need)
+            sweep_cfg.datatransforms_scanobjectnn_c = {
+                "val": ["PointsToTensor", "PointCloudCenterAndNormalize"],
+                "kwargs": {"gravity_dim": 1}}
+        corrupt_main(sweep_cfg)
+        logging.info("corruption sweep written to %s/outcorruption.txt",
+                     cfg.run_dir)
 
     if args.max_delta is not None and expected is not None:
         if abs(float(oa) - expected) > args.max_delta:
             print(f"FAIL: |delta| {abs(float(oa) - expected):.2f} > "
                   f"{args.max_delta}", file=sys.stderr)
             sys.exit(1)
-
-
-def _sweep(cfg):
-    """Corruption sweep of a restored checkpoint (no training epochs)."""
-    import jax
-    from adaptpoint_tpu.datasets import build_dataloader_from_cfg
-    from adaptpoint_tpu.engine.cls_main import _restore_state, _state_payload
-    from adaptpoint_tpu.engine.cls_trainer import (build_train_tools,
-                                                   init_state, make_eval_step)
-    from adaptpoint_tpu.engine.corrupt_main import _corruption_eval
-    from adaptpoint_tpu.models import build_model_from_cfg
-    from adaptpoint_tpu.parallel import get_mesh
-    from adaptpoint_tpu.utils import set_random_seed
-    from adaptpoint_tpu.utils.ckpt import load_checkpoint
-
-    root_rng = set_random_seed(cfg.seed or 0)
-    mesh = get_mesh()
-    model = build_model_from_cfg(cfg.model)
-    if cfg.model.get("in_channels", None) is None:
-        cfg.model.in_channels = cfg.model.encoder_args.in_channels
-    loader = build_dataloader_from_cfg(
-        cfg.get("val_batch_size", cfg.batch_size), cfg.dataset, cfg.dataloader,
-        datatransforms_cfg=cfg.datatransforms, split="val", seed=cfg.seed or 0)
-    example = next(iter(loader))
-    criterion, tx, _ = build_train_tools(cfg, model)
-    rng, init_rng = jax.random.split(root_rng)
-    state = init_state(cfg, model, tx, init_rng, example)
-    payload, epoch_loaded, _ = load_checkpoint(_state_payload(state),
-                                               cfg.pretrained_path)
-    state = _restore_state(state, payload)
-    eval_step = make_eval_step(model, cfg)
-    _corruption_eval(cfg, eval_step, state, mesh, epoch_loaded)
-    logging.info("corruption sweep written to %s/outcorruption.txt",
-                 cfg.run_dir)
 
 
 if __name__ == "__main__":

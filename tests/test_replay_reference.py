@@ -50,9 +50,12 @@ def test_replay_reference_end_to_end(tmp_path, capsys):
         "replay_reference.py", "--pth", str(pth),
         "--cfg", os.path.join(REPO, "cfgs/scanobjectnn/pointnext-s.yaml"),
         "--out", str(tmp_path / "conv.msgpack"),
+        "--corruptions",
         f"root_dir={tmp_path / 'runs'}",
         "dataset.common.data_dir="
         + str(tmp_path / "data/ScanObjectNN/h5_files/main_split"),
+        "scanobjectnn_c_dir="
+        + str(tmp_path / "data/ScanObjectNN_C/scanobjectnn_c"),
         "val_batch_size=16",
     ]
     try:
@@ -70,3 +73,9 @@ def test_replay_reference_end_to_end(tmp_path, capsys):
     assert res["expected_oa"] == 88.20
     assert abs(res["oa"] - (res["expected_oa"] + res["delta"])) < 1e-6
     assert os.path.exists(tmp_path / "conv.msgpack")
+    # --corruptions wrote the ScanObjectNN-C sweep into the replay run dir
+    import glob
+    outs = glob.glob(str(tmp_path / "runs" / "**" / "outcorruption.txt"),
+                     recursive=True)
+    assert outs, "corruption sweep did not write outcorruption.txt"
+    assert "mCE" in open(outs[0]).read()
